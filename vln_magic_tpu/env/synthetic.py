@@ -1,0 +1,103 @@
+"""Synthetic Matterport-like worlds for tests and benchmarks.
+
+The reference has no test fakes (SURVEY.md §4); this generator is the
+framework's canonical fake backend: random geometric connectivity graphs with
+MatterSim-compatible geometry plus deterministic pseudo-random CLIP-like view
+features, so every layer (env, models, rollout, eval) runs without datasets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .graph import INF, NavGraph
+from .world import World
+
+
+def _random_graph(rng: np.random.Generator, num_nodes: int, radius: float) -> tuple[np.ndarray, np.ndarray]:
+    """Connected random geometric graph: nodes in a ~[0, L]^2 x [0, 3] box,
+    edges between nodes within ``radius``, plus a spanning chain to guarantee
+    connectivity (mirrors building floors: mostly planar, small z spread)."""
+    size = np.sqrt(num_nodes) * radius * 0.7
+    pos = np.stack([
+        rng.uniform(0, size, num_nodes),
+        rng.uniform(0, size, num_nodes),
+        rng.uniform(0, 3.0, num_nodes),
+    ], axis=1).astype(np.float32)
+    diff = pos[:, None] - pos[None, :]
+    euclid = np.sqrt((diff**2).sum(-1))
+    adj = (euclid < radius) & ~np.eye(num_nodes, dtype=bool)
+    # spanning chain over a random order for connectivity
+    order = rng.permutation(num_nodes)
+    for a, b in zip(order[:-1], order[1:]):
+        adj[a, b] = adj[b, a] = True
+    return pos, adj
+
+
+def _feature_fn(feat_dim: int, seed: int):
+    def fn(scan: str, node_ids: list[str]) -> np.ndarray:
+        # stable per-scan features: same scan always produces the same tensor
+        h = np.uint32(abs(hash((scan, seed))) % (2**31))
+        r = np.random.default_rng(int(h))
+        return r.standard_normal((len(node_ids), 36, feat_dim)).astype(np.float32) * 0.5
+    return fn
+
+
+def make_synthetic_world(
+    num_scans: int = 2,
+    nodes_per_scan: int = 24,
+    feat_dim: int = 768,
+    seed: int = 0,
+    radius: float = 2.5,
+    max_candidates: int | None = None,
+) -> World:
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for s in range(num_scans):
+        n = nodes_per_scan
+        pos, adj = _random_graph(rng, n, radius)
+        diff = pos[:, None] - pos[None, :]
+        euclid = np.sqrt((diff**2).sum(-1)).astype(np.float32)
+        edge_dist = np.where(adj, euclid, INF)
+        node_ids = [f"vp{s}_{i:04d}" for i in range(n)]
+        graphs.append(NavGraph(f"scan{s:04d}", node_ids, pos, adj, edge_dist))
+    return World(graphs, _feature_fn(feat_dim, seed), feat_dim,
+                 max_candidates=max_candidates)
+
+
+def make_synthetic_instructions(
+    world: World,
+    num_items: int,
+    rng: np.random.Generator,
+    vocab_size: int = 1000,
+    min_len: int = 8,
+    max_len: int = 40,
+    min_path: int = 3,
+    max_path: int = 7,
+):
+    """Synthetic R2R-style annotation items with shortest-path ground truth."""
+    items = []
+    for k in range(num_items):
+        si = int(rng.integers(world.tables.num_scans))
+        g = world.graphs[si]
+        for _ in range(100):
+            a, b = rng.integers(g.num_nodes, size=2)
+            steps = g.steps[a, b]
+            if min_path <= steps <= max_path:
+                break
+        path = g.path_indices(int(a), int(b))
+        L = int(rng.integers(min_len, max_len))
+        items.append({
+            "instr_id": f"{k}_0",
+            "path_id": k,
+            "scan": g.scan,
+            "scan_idx": si,
+            "path": [g.node_ids[i] for i in path],
+            "path_idx": np.array(path, dtype=np.int32),
+            "heading": float(rng.uniform(0, 2 * np.pi)),
+            "instruction": "synthetic",
+            "instr_encoding": np.concatenate(
+                [[0], rng.integers(4, vocab_size, L), [2]]
+            ).astype(np.int32),
+        })
+    return items
