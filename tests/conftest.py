@@ -1,11 +1,18 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware (driver validates the real path separately).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware (the driver validates the real path
+# separately).  The environment pins JAX_PLATFORMS=axon (the tunneled TPU), so
+# both the env var and jax.config must be overridden here, before any test
+# imports jax.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

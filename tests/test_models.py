@@ -1,0 +1,152 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vln_magic_tpu.config import ModelConfig, from_reference_flags
+from vln_magic_tpu.models import Critic, DualScaleVLNBert
+from vln_magic_tpu.models.vlnbert import dummy_step_batch
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return ModelConfig(
+        vocab_size=200, hidden_size=64, num_attention_heads=4, num_l_layers=2,
+        num_pano_layers=2, num_x_layers=2, image_feat_size=32,
+        max_position_embeddings=64, kd_heads=True, kd_target_size=96,
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_params(small_cfg):
+    model = DualScaleVLNBert(small_cfg)
+    batch = dummy_step_batch(small_cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return model, params, batch
+
+
+def test_full_forward_shapes(model_and_params, small_cfg):
+    model, params, batch = model_and_params
+    outs = model.apply(params, batch)
+    b, g = batch["gmap_masks"].shape
+    p2 = batch["vp_masks"].shape[1]
+    lt = batch["txt_masks"].shape[1]
+    assert outs["fused_logits"].shape == (b, g)
+    assert outs["global_logits"].shape == (b, g)
+    assert outs["local_logits"].shape == (b, p2)
+    assert outs["cls_embeds"].shape == (b, small_cfg.hidden_size)
+    assert outs["txt_embeds"].shape == (b, lt, small_cfg.hidden_size)
+    assert outs["txt_attns"].shape == (b, small_cfg.num_l_layers, lt, lt)
+    assert outs["gmap_attns"].shape == (b, small_cfg.num_x_layers, g, lt)
+    assert np.isfinite(np.asarray(outs["fused_logits"][:, 0])).all()
+
+
+def test_mem_token_masked_from_actions(model_and_params):
+    model, params, batch = model_and_params
+    outs = model.apply(params, batch)
+    # [MEM] is gmap slot 1: unreachable as an action (agent.py:233)
+    assert (np.asarray(outs["fused_logits"][:, 1]) < -1e8).all()
+    assert (np.asarray(outs["global_logits"][:, 1]) < -1e8).all()
+
+
+def test_visited_nodes_masked(model_and_params):
+    model, params, batch = model_and_params
+    batch = dict(batch)
+    batch["gmap_visited_masks"] = batch["gmap_visited_masks"].at[:, 2].set(True)
+    outs = model.apply(params, batch)
+    assert (np.asarray(outs["fused_logits"][:, 2]) < -1e8).all()
+
+
+def test_padding_invariance(model_and_params, small_cfg):
+    """Extending padded regions must not change valid outputs (mask discipline)."""
+    model, params, batch = model_and_params
+    outs = model.apply(params, batch)
+
+    wide = dummy_step_batch(small_cfg, txt_len=24, pano_len=12, gmap_len=9)
+    # copy the real content, leave the extension as padding
+    for k, v in batch.items():
+        w = np.asarray(wide[k]).copy()
+        sl = tuple(slice(0, s) for s in v.shape)
+        w[sl] = np.asarray(v)
+        # mask extension
+        if k in ("txt_masks", "pano_masks", "gmap_masks", "vp_masks", "vp_nav_masks"):
+            mask = np.zeros_like(w, dtype=bool)
+            mask[sl] = np.asarray(v)
+            w = mask
+        if k == "gmap_visited_masks":
+            mask = np.zeros_like(w, dtype=bool)
+            mask[sl] = np.asarray(v)
+            w = mask
+        if k == "nav_types":
+            w2 = np.zeros_like(w)
+            w2[sl] = np.asarray(v)
+            w = w2
+        if k == "gmap_local_slot":
+            w2 = np.full_like(w, -1)
+            w2[sl] = np.asarray(v)
+            w = w2
+        if k == "vp_cand_visited":
+            w2 = np.zeros_like(w)
+            w2[sl] = np.asarray(v)
+            w = w2
+        wide[k] = jnp.asarray(w)
+    wouts = model.apply(params, wide)
+
+    g = batch["gmap_masks"].shape[1]
+    np.testing.assert_allclose(
+        np.asarray(outs["fused_logits"][:, 0]),
+        np.asarray(wouts["fused_logits"][:, 0]), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(outs["cls_embeds"]), np.asarray(wouts["cls_embeds"]),
+        rtol=2e-4, atol=2e-5)
+    # valid (non-mem) action logits match
+    valid = np.asarray(batch["gmap_masks"][0] & ~batch["gmap_visited_masks"][0])
+    np.testing.assert_allclose(
+        np.asarray(outs["fused_logits"][0][valid]),
+        np.asarray(wouts["fused_logits"][0][:g][valid]), rtol=2e-4, atol=2e-5)
+
+
+def test_kd_heads_exist_and_project(model_and_params, small_cfg):
+    model, params, batch = model_and_params
+    outs = model.apply(params, batch)
+    proj = model.apply(params, "txt_emb_w", outs["txt_embeds"],
+                       method=DualScaleVLNBert.kd_project)
+    assert proj.shape == outs["txt_embeds"].shape[:-1] + (small_cfg.kd_target_size,)
+    w = model.apply(params, method=DualScaleVLNBert.kd_ability_weights)
+    assert w.shape == (5,)
+    np.testing.assert_allclose(np.asarray(w), np.ones(5), rtol=1e-3)
+
+
+def test_dropout_rng_changes_train_outputs(model_and_params):
+    model, params, batch = model_and_params
+    o1 = model.apply(params, batch, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = model.apply(params, batch, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(o1["cls_embeds"]), np.asarray(o2["cls_embeds"]))
+
+
+def test_critic():
+    c = Critic(hidden_size=64)
+    x = jnp.ones((3, 64))
+    params = c.init(jax.random.PRNGKey(0), x)
+    v = c.apply(params, x)
+    assert v.shape == (3,)
+
+
+def test_reference_flag_parsing():
+    flags = {
+        "train_kdl": True, "student_hidden_size": 256,
+        "teacher_hidden_size": 768, "max_action_len": 15,
+        "kdl_alpha": 0.5, "kd_ability_types": ["txt", "img"],
+        "kdl_adaptive_ability_weight": True,
+        "kdl_adaptive_ability_weight_type": "RW",
+    }
+    cfg = from_reference_flags(flags)
+    assert cfg.model.hidden_size == 256
+    assert cfg.model.num_attention_heads == 4
+    assert cfg.model.kd_heads and cfg.model.kd_target_size == 768
+    assert cfg.teacher_model.hidden_size == 768
+    assert cfg.teacher_model.num_attention_heads == 12
+    assert cfg.distill.ability_types == ("txt", "img")
+    assert cfg.model.intermediate_size == 1024

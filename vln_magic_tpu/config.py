@@ -1,0 +1,271 @@
+"""Typed configuration tree.
+
+One dataclass hierarchy replaces the reference's flat ~120-flag argparse
+namespace (reference: map_nav_src/r2r/parser.py:5-210) and its JSON model
+config (reference: pretrain_src/config/r2r_magic_model_config.json).
+``from_reference_flags`` accepts the reference's public flag names verbatim so
+configs/scripts written for the reference keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ModelConfig:
+    """Dual-scale cross-modal transformer dimensions.
+
+    Defaults are the teacher (768-d) configuration
+    (reference: pretrain_src/config/r2r_magic_model_config.json:7-17;
+    map_nav_src/r2r/parser.py:173-181).  The distillation chain uses
+    hidden sizes 768 -> 384 -> 256 -> 128 with heads = hidden // 64.
+    """
+
+    vocab_size: int = 50265
+    hidden_size: int = 768
+    num_l_layers: int = 6
+    num_pano_layers: int = 2
+    num_x_layers: int = 3
+    num_attention_heads: int = 12
+    mlp_ratio: int = 4
+    max_position_embeddings: int = 514
+    type_vocab_size: int = 1
+    max_action_steps: int = 100          # step-id embedding table size
+    pad_token_id: int = 1                # RoBERTa convention
+
+    image_feat_size: int = 768
+    angle_feat_size: int = 4
+    loc_feat_size: int = 7               # 4 angle + 3 box
+    gmap_pos_size: int = 7
+    vp_pos_size: int = 14
+
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+
+    use_lang2visn_attn: bool = True
+    graph_sprels: bool = True
+    glocal_fuse: bool = True             # dynamic global/local fusion
+    adaptive_pano_fusion: bool = True
+
+    # causal interventions (GOAT lineage); off by default like the valid script
+    do_back_txt: bool = False
+    do_back_img: bool = False
+    do_front_txt: bool = False
+    do_front_img: bool = False
+    do_front_his: bool = False
+    do_back_txt_type: str = "type_2"     # type_1: p(z) prior; type_2: attention
+    do_add_method: str = "door"          # door | add
+    cfp_temperature: float = 1.0
+
+    # knowledge-distillation heads (student role projects to teacher width)
+    kd_heads: bool = False
+    kd_target_size: int = 768
+
+    @property
+    def intermediate_size(self) -> int:
+        return self.hidden_size * self.mlp_ratio
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    def derive(self, hidden_size: int, num_attention_heads: int | None = None, **kw) -> "ModelConfig":
+        """Chain-stage config: same structure, smaller width.
+
+        Mirrors the teacher_*/student_* key promotion in the reference
+        (pretrain_src/train_r2r_magic.py:127-160: heads = hidden // 64,
+        intermediate = hidden * mlp_ratio)."""
+        heads = num_attention_heads or hidden_size // 64
+        return dataclasses.replace(
+            self, hidden_size=hidden_size, num_attention_heads=heads, **kw
+        )
+
+
+@dataclass
+class EnvConfig:
+    max_action_len: int = 15             # R2R; RxR uses 28
+    max_instr_len: int = 200             # R2R; RxR uses 250
+    max_gmap_len: int = 128              # [stop]+[mem]+visited+frontier, padded
+    max_pano_len: int = 48               # cands + remaining views, padded
+    max_candidates: int = 16
+    ignore_id: int = -100
+    error_margin: float = 3.0            # success threshold (env.py:21)
+    expert_policy: str = "spl"           # spl | ndtw
+    dataset: str = "r2r"
+
+
+@dataclass
+class DistillConfig:
+    """MAKD / MKRW / MKTD / ICoD knobs (reference: map_nav_src/r2r/parser.py:145-197)."""
+
+    train_kdl: bool = False
+    ability_types: tuple = ("txt", "img", "local", "global", "action")
+    feat_loss: str = "mse"               # mse | kl
+    attn_loss: str = "mse"
+    logit_loss: str = "kd"               # kd | dkd
+    temperature: float = 1.0
+    alpha: float = 0.5                   # total = alpha*KD + (1-alpha)*IL
+    dkd_alpha: float = 1.0
+    dkd_beta: float = 8.0
+    loss_type: str = "sum"               # sum | mean
+    no_feat: bool = False
+    no_attn: bool = False
+    no_logit: bool = False
+    # MKRW
+    adaptive_ability_weight: bool = False
+    adaptive_ability_weight_type: str = "RW"   # RW | learned_weight | grad
+    rw_temp: float = 1.0
+    # MKTD
+    teacher_sample_hard_mining: bool = False
+    sample_preprocess: str = "exp"       # exp | norm
+    sample_exp_decay: float = 0.7
+    # ICoD
+    train_teacher: bool = False
+    t_alpha: float = 0.5
+    t_lr: float = 5e-6
+
+
+@dataclass
+class TrainConfig:
+    iters: int = 100_000
+    log_every: int = 1000
+    batch_size: int = 16
+    lr: float = 4e-5
+    weight_decay: float = 0.0
+    optim: str = "adamw"
+    grad_clip: float = 40.0
+    ml_weight: float = 0.2
+    train_alg: str = "dagger"            # imitation | dagger
+    dagger_sample: str = "sample"
+    feedback: str = "sample"
+    use_lr_sch: bool = False
+    lr_sch: str = "polynomial"
+    warmup_iters: int = 0
+    seed: int = 0
+    feat_dropout: float = 0.4
+    compute_dtype: str = "float32"       # bfloat16 on TPU training
+
+
+@dataclass
+class MagicConfig:
+    """Top-level config: model pair + env + training + distillation."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)          # student
+    teacher_model: ModelConfig | None = None
+    env: EnvConfig = field(default_factory=EnvConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    distill: DistillConfig = field(default_factory=DistillConfig)
+
+
+# mapping: reference flag name -> (section, field)
+_FLAG_MAP = {
+    "max_action_len": ("env", "max_action_len"),
+    "max_instr_len": ("env", "max_instr_len"),
+    "ignoreid": ("env", "ignore_id"),
+    "expert_policy": ("env", "expert_policy"),
+    "dataset": ("env", "dataset"),
+    "iters": ("train", "iters"),
+    "log_every": ("train", "log_every"),
+    "batch_size": ("train", "batch_size"),
+    "lr": ("train", "lr"),
+    "optim": ("train", "optim"),
+    "ml_weight": ("train", "ml_weight"),
+    "train_alg": ("train", "train_alg"),
+    "dagger_sample": ("train", "dagger_sample"),
+    "feedback": ("train", "feedback"),
+    "use_lr_sch": ("train", "use_lr_sch"),
+    "lr_sch": ("train", "lr_sch"),
+    "seed": ("train", "seed"),
+    "feat_dropout": ("train", "feat_dropout"),
+    "train_kdl": ("distill", "train_kdl"),
+    "kd_ability_types": ("distill", "ability_types"),
+    "kdl_feat_loss": ("distill", "feat_loss"),
+    "kdl_attn_loss": ("distill", "attn_loss"),
+    "kdl_logit_loss": ("distill", "logit_loss"),
+    "kdl_temperature": ("distill", "temperature"),
+    "kdl_alpha": ("distill", "alpha"),
+    "kdl_dkd_alpha": ("distill", "dkd_alpha"),
+    "kdl_dkd_beta": ("distill", "dkd_beta"),
+    "kd_loss_type": ("distill", "loss_type"),
+    "train_kdl_noFeat": ("distill", "no_feat"),
+    "train_kdl_noAttn": ("distill", "no_attn"),
+    "train_kdl_noLogit": ("distill", "no_logit"),
+    "kdl_adaptive_ability_weight": ("distill", "adaptive_ability_weight"),
+    "kdl_adaptive_ability_weight_type": ("distill", "adaptive_ability_weight_type"),
+    "rw_temp": ("distill", "rw_temp"),
+    "teacher_sample_hard_mining": ("distill", "teacher_sample_hard_mining"),
+    "t_sample_preprocess": ("distill", "sample_preprocess"),
+    "t_sample_preprocess_exp_decay": ("distill", "sample_exp_decay"),
+    "train_kdl_teacher": ("distill", "train_teacher"),
+    "t_kdl_alpha": ("distill", "t_alpha"),
+    "t_lr": ("distill", "t_lr"),
+    "dropout": ("model", "hidden_dropout"),
+    "num_l_layers": ("model", "num_l_layers"),
+    "num_pano_layers": ("model", "num_pano_layers"),
+    "num_x_layers": ("model", "num_x_layers"),
+    "angle_feat_size": ("model", "angle_feat_size"),
+    "graph_sprels": ("model", "graph_sprels"),
+    "adaptive_pano_fusion": ("model", "adaptive_pano_fusion"),
+    "do_back_txt": ("model", "do_back_txt"),
+    "do_back_img": ("model", "do_back_img"),
+    "do_front_txt": ("model", "do_front_txt"),
+    "do_front_img": ("model", "do_front_img"),
+    "do_front_his": ("model", "do_front_his"),
+    "do_back_txt_type": ("model", "do_back_txt_type"),
+    "do_add_method": ("model", "do_add_method"),
+    "cfp_temperature": ("model", "cfp_temperature"),
+}
+
+
+def from_reference_flags(flags: dict) -> MagicConfig:
+    """Build a :class:`MagicConfig` from a dict of reference-named flags.
+
+    Student dims come from ``student_*`` keys, teacher dims from
+    ``teacher_*`` keys, matching map_nav_src/r2r/parser.py:173-195.
+    Unknown keys are ignored (the reference tolerates extra flags too).
+    """
+    cfg = MagicConfig()
+    sections = {"model": {}, "env": {}, "train": {}, "distill": {}}
+    for key, value in flags.items():
+        if key in _FLAG_MAP:
+            sec, name = _FLAG_MAP[key]
+            if name == "ability_types" and isinstance(value, list):
+                value = tuple(value)
+            sections[sec][name] = value
+
+    student_hidden = int(flags.get("student_hidden_size", 384))
+    student_heads = int(flags.get("student_num_attention_heads", student_hidden // 64))
+    teacher_hidden = int(flags.get("teacher_hidden_size", 768))
+    teacher_heads = int(flags.get("teacher_num_attention_heads", teacher_hidden // 64))
+
+    model = dataclasses.replace(ModelConfig(), **sections["model"])
+    train_kdl = bool(sections["distill"].get("train_kdl", False))
+    # VLNBert(role='student') always takes student_* dims (parser.py:186-192);
+    # KD projection heads exist only when distilling.
+    student = model.derive(
+        student_hidden, student_heads,
+        num_l_layers=int(flags.get("student_num_l_layers", model.num_l_layers)),
+        num_pano_layers=int(flags.get("student_num_pano_layers", model.num_pano_layers)),
+        num_x_layers=int(flags.get("student_num_x_layers", model.num_x_layers)),
+        kd_heads=train_kdl, kd_target_size=teacher_hidden,
+    )
+    teacher = model.derive(
+        teacher_hidden, teacher_heads,
+        num_l_layers=int(flags.get("teacher_num_l_layers", model.num_l_layers)),
+        num_pano_layers=int(flags.get("teacher_num_pano_layers", model.num_pano_layers)),
+        num_x_layers=int(flags.get("teacher_num_x_layers", model.num_x_layers)),
+        kd_heads=bool(flags.get("train_kdl_teacher", False)),
+        kd_target_size=student_hidden,
+    )
+    return dataclasses.replace(
+        cfg,
+        model=student,
+        teacher_model=teacher if train_kdl else None,
+        env=dataclasses.replace(cfg.env, **sections["env"]),
+        train=dataclasses.replace(cfg.train, **sections["train"]),
+        distill=dataclasses.replace(cfg.distill, **sections["distill"]),
+    )

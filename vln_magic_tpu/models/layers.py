@@ -1,0 +1,171 @@
+"""Transformer building blocks (flax.linen), BERT/RoBERTa post-LN style.
+
+These reconstruct the layer structure of the omitted reference models
+(reference: map_nav_src/models/model.py is absent; evidence in SURVEY.md §2.5
+and the METER/RoBERTa checkpoint remaps at pretrain_src/train_r2r_magic.py:
+183-254).  Everything is mask-driven with static shapes so XLA can fuse and
+tile onto the MXU; attention probabilities are returned head-averaged per
+layer for the MAKD attention-distillation losses (student and teacher have
+different head counts, so the head axis must be reduced before comparing).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -1e9
+
+
+def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, Lk] bool -> additive attention bias [B, 1, 1, Lk]."""
+    return jnp.where(mask, 0.0, NEG_INF).astype(dtype)[:, None, None, :]
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard scaled dot-product attention with optional additive bias.
+
+    ``bias`` broadcasts against [B, H, Lq, Lk] — used for padding masks and
+    for the global branch's pairwise-distance bias (graph_sprels).
+    Returns (output, head-averaged probs [B, Lq, Lk]).
+    """
+
+    hidden_size: int
+    num_heads: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_input, kv_input, bias=None, deterministic=True):
+        d = self.hidden_size
+        h = self.num_heads
+        hd = d // h
+        dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
+        q = dense("query")(q_input)
+        k = dense("key")(kv_input)
+        v = dense("value")(kv_input)
+
+        def split(x):
+            return x.reshape(x.shape[:-1] + (h, hd)).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
+        if bias is not None:
+            scores = scores + bias.astype(scores.dtype)
+        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs_drop = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_drop, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(ctx.shape[0], ctx.shape[2], d)
+        out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
+        return out, probs.mean(axis=1)
+
+
+class AddNorm(nn.Module):
+    hidden_size: int
+    dropout: float = 0.1
+    eps: float = 1e-12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, residual, x, deterministic=True):
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype)(residual + x)
+
+
+class FeedForward(nn.Module):
+    hidden_size: int
+    intermediate_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.intermediate_size, dtype=self.dtype, name="intermediate")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, name="output")(x)
+
+
+class TransformerLayer(nn.Module):
+    """Post-LN self-attention encoder layer (BERT structure)."""
+
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    dropout: float = 0.1
+    attn_dropout: float = 0.1
+    eps: float = 1e-12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, bias=None, deterministic=True):
+        attn_bias = None
+        if mask is not None:
+            attn_bias = mask_to_bias(mask, self.dtype)
+        if bias is not None:
+            attn_bias = bias if attn_bias is None else attn_bias + bias
+        attn_out, probs = MultiHeadAttention(
+            self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
+            name="attention",
+        )(x, x, attn_bias, deterministic)
+        x = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
+                    name="attention_norm")(x, attn_out, deterministic)
+        ff = FeedForward(self.hidden_size, self.intermediate_size, self.dtype,
+                         name="ffn")(x)
+        x = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
+                    name="ffn_norm")(x, ff, deterministic)
+        return x, probs
+
+
+class CrossModalLayer(nn.Module):
+    """One dual-stream cross-modal layer: vision-queries-language cross
+    attention, optional language-queries-vision attention
+    (use_lang2visn_attn, model config:27), self-attention over the visual
+    stream with an optional additive structure bias (graph_sprels), FFN.
+    """
+
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    dropout: float = 0.1
+    attn_dropout: float = 0.1
+    eps: float = 1e-12
+    lang2visn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, visn, lang, visn_mask, lang_mask, self_bias=None,
+                 deterministic=True):
+        lang_bias = mask_to_bias(lang_mask, self.dtype)
+        visn_bias = mask_to_bias(visn_mask, self.dtype)
+
+        x_out, x_probs = MultiHeadAttention(
+            self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
+            name="crossattention",
+        )(visn, lang, lang_bias, deterministic)
+        visn = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
+                       name="crossattention_norm")(visn, x_out, deterministic)
+
+        if self.lang2visn:
+            l_out, _ = MultiHeadAttention(
+                self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
+                name="lang2visn_attention",
+            )(lang, visn, visn_bias, deterministic)
+            lang = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
+                           name="lang2visn_norm")(lang, l_out, deterministic)
+
+        self_attn_bias = visn_bias
+        if self_bias is not None:
+            self_attn_bias = self_attn_bias + self_bias
+        s_out, _ = MultiHeadAttention(
+            self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
+            name="self_attention",
+        )(visn, visn, self_attn_bias, deterministic)
+        visn = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
+                       name="self_norm")(visn, s_out, deterministic)
+
+        ff = FeedForward(self.hidden_size, self.intermediate_size, self.dtype,
+                         name="ffn")(visn)
+        visn = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
+                       name="ffn_norm")(visn, ff, deterministic)
+        return visn, lang, x_probs
