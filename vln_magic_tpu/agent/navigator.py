@@ -1,0 +1,114 @@
+"""High-level navigation agent: the reference's GMapNavAgent equivalent
+(reference: map_nav_src/r2r/agent.py:34) rebuilt around the device-resident
+rollout.  Owns the world tables, the model(s), and jitted entry points for
+greedy evaluation; training lives in agent/trainer.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EnvConfig, MagicConfig
+from ..env.world import World
+from ..models import DualScaleVLNBert
+from .evaluator import Evaluator, build_trajectories
+from .rollout import EpisodeBatch, Rollout, Tables, init_episodes
+
+
+def pad_instructions(items, max_len: int, pad_id: int = 1):
+    """[B, L] token ids + mask from variable-length encodings (the
+    reference's _language_variable, agent.py:63-90, minus the device copies).
+    L is bucketed to multiples of 16 to bound jit recompilation."""
+    b = len(items)
+    L = min(max(len(it["instr_encoding"]) for it in items), max_len)
+    L = min(((L + 15) // 16) * 16, max_len)
+    ids = np.full((b, L), pad_id, dtype=np.int32)
+    mask = np.zeros((b, L), dtype=bool)
+    for i, it in enumerate(items):
+        enc = np.asarray(it["instr_encoding"])[:L]
+        ids[i, : len(enc)] = enc
+        mask[i, : len(enc)] = True
+    return ids, mask
+
+
+def episodes_from_items(tables: Tables, world: World, items, model_dims,
+                        max_gt_len: int = 24):
+    b = len(items)
+    tg = max_gt_len  # fixed shape: TRAIN_MAX_STEP-scale bound (env.py:24)
+    scan = np.array([it["scan_idx"] for it in items], np.int32)
+    start = np.array([it["path_idx"][0] for it in items], np.int32)
+    heading = np.array([it["heading"] for it in items], np.float32)
+    gt_path = np.full((b, tg), -1, np.int32)
+    gt_len = np.zeros((b,), np.int32)
+    for i, it in enumerate(items):
+        p = np.asarray(it["path_idx"])
+        gt_path[i, : len(p)] = p
+        gt_len[i] = len(p)
+    return init_episodes(tables, scan, start, heading, gt_path, gt_len,
+                         model_dims)
+
+
+class Navigator:
+    """Greedy-decode navigation agent (the minimum end-to-end slice)."""
+
+    def __init__(self, cfg: MagicConfig, world: World, params=None, rng=None):
+        self.cfg = cfg
+        self.world = world
+        self.tables = Tables.from_world(world.tables)
+        self.model = DualScaleVLNBert(cfg.model)
+        self.rollout = Rollout(self.tables, cfg.env, self.model)
+        if params is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(cfg.train.seed)
+            params = self.init_params(rng)
+        self.params = params
+        self._jit_cache = {}
+
+    def init_params(self, rng):
+        from ..models.vlnbert import dummy_step_batch
+
+        c = self.cfg.model
+        batch = dummy_step_batch(c, batch_size=1, txt_len=8,
+                                 pano_len=self.tables.cand_ids.shape[2] + 36,
+                                 gmap_len=self.cfg.env.max_gmap_len)
+        return self.model.init(rng, batch)
+
+    def _run_fn(self, feedback: str, train_ml, deterministic: bool):
+        key = (feedback, train_ml, deterministic)
+        if key not in self._jit_cache:
+            def fn(params, state, txt_ids, txt_masks, rng):
+                return self.rollout.run(params, state, txt_ids, txt_masks,
+                                        feedback, rng, train_ml, deterministic)
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def run_items(self, items, feedback="argmax", rng=None):
+        txt_ids, txt_masks = pad_instructions(items, self.cfg.env.max_instr_len)
+        state = episodes_from_items(self.tables, self.world, items,
+                                    self.rollout.model_dims)
+        fn = self._run_fn(feedback, None, True)
+        state, aux = fn(self.params, state, jnp.asarray(txt_ids),
+                        jnp.asarray(txt_masks),
+                        rng if rng is not None else jax.random.PRNGKey(0))
+        return state, aux
+
+    def evaluate(self, items, feedback="argmax", batch_size=None):
+        """Greedy decode + metrics over an item list (the reference's
+        valid() loop, main_nav.py:561-667, without the process boundary)."""
+        bs = batch_size or self.cfg.train.batch_size
+        preds = []
+        for i in range(0, len(items), bs):
+            chunk = items[i : i + bs]
+            n_real = len(chunk)
+            if n_real < bs:   # pad the tail batch to keep shapes static
+                chunk = chunk + [chunk[-1]] * (bs - n_real)
+            state, aux = self.run_items(chunk, feedback)
+            preds.extend(build_trajectories(
+                self.world, chunk, aux["actions"], aux["stop_node"],
+                aux["final_cur"])[:n_real])
+        ev = Evaluator(self.world, items)
+        return ev.eval_metrics(preds), preds

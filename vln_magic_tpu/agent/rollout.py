@@ -1,0 +1,610 @@
+"""Batched, fully device-resident navigation rollout as a ``lax.scan``.
+
+TPU-first inversion of the reference rollout (reference:
+map_nav_src/r2r/agent.py:722-1158), which interleaves per-sample Python graph
+mutation, numpy feature assembly, MatterSim C++ calls and CUDA forwards per
+step.  Here the episode state (current node, discretized orientation, the
+topological gmap: visited/observed sets, observation order, per-node averaged
+embeddings, stop scores) is a pytree of padded arrays, the step is one jitted
+function of pure gathers + model forwards, and the time loop is ``lax.scan``
+with ``ended`` masking instead of early exit.
+
+Token layouts match the reference exactly so checkpoints/targets transfer:
+  gmap tokens: [stop], [mem], visited (observation order), frontier (obs order)
+               (agent.py:199-210); [mem] masked from attention and actions
+               (agent.py:233).
+  vp tokens:   [stop], [mem], candidates..., remaining views...
+               (agent.py:290-328).
+
+Known deviation (documented for the parity pass): pairwise gmap distances and
+backtrack paths use the *full* connectivity graph, where the reference uses
+the incrementally observed subgraph (models/graph_utils.py, omitted upstream).
+The two differ only when the true shortest route between two observed nodes
+crosses unobserved territory.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import EnvConfig, ModelConfig
+from ..env.world import WorldTables
+from . import geometry_jax as gj
+
+BIG = jnp.int32(1_000_000)     # obs-order offset separating frontier from visited
+UNOBS = jnp.int32(2_000_000)   # obs-order value for unobserved nodes
+NEG_INF = -1e9
+
+
+@struct.dataclass
+class Tables:
+    """WorldTables as device arrays (closed over by the jitted step)."""
+
+    node_mask: jnp.ndarray
+    positions: jnp.ndarray
+    dist: jnp.ndarray
+    steps: jnp.ndarray
+    next_hop: jnp.ndarray
+    cand_ids: jnp.ndarray
+    cand_view: jnp.ndarray
+    cand_heading: jnp.ndarray
+    cand_elevation: jnp.ndarray
+    cand_mask: jnp.ndarray
+    features: jnp.ndarray
+
+    @classmethod
+    def from_world(cls, t: WorldTables) -> "Tables":
+        return cls(**{f: jnp.asarray(getattr(t, f)) for f in (
+            "node_mask", "positions", "dist", "steps", "next_hop", "cand_ids",
+            "cand_view", "cand_heading", "cand_elevation", "cand_mask",
+            "features")})
+
+
+@struct.dataclass
+class EpisodeBatch:
+    """Batched episode + topological-map state (the reference's GraphMap,
+    SURVEY §2.6, as arrays).  N = max nodes/scan (+1 trash slot for masked
+    scatters)."""
+
+    scan: jnp.ndarray          # [B] i32
+    cur: jnp.ndarray           # [B] i32
+    heading: jnp.ndarray       # [B] f32
+    elevation: jnp.ndarray     # [B] f32
+    start: jnp.ndarray         # [B] i32
+    goal: jnp.ndarray          # [B] i32
+    gt_path: jnp.ndarray       # [B, TG] i32, -1 padded
+    gt_len: jnp.ndarray        # [B] i32
+    visited: jnp.ndarray       # [B, N+1] bool
+    obs_order: jnp.ndarray     # [B, N+1] i32 (UNOBS if unobserved)
+    obs_count: jnp.ndarray     # [B] i32
+    step_ids: jnp.ndarray      # [B, N+1] i32
+    stop_scores: jnp.ndarray   # [B, N+1] f32
+    embed_sum: dict            # role -> [B, N+1, D]
+    embed_cnt: dict            # role -> [B, N+1]
+    mem: dict                  # role -> [B, D] ([MEM] recurrence, cls_embeds)
+    ended: jnp.ndarray         # [B] bool
+
+    @property
+    def batch_size(self):
+        return self.scan.shape[0]
+
+
+def init_episodes(tables: Tables, scan_idx, start, heading, gt_path, gt_len,
+                  model_dims: dict[str, int]) -> EpisodeBatch:
+    """Start episodes: agent at gt_path[0] with the item's heading, elevation 0
+    (reference env.py:394-405), start node + its candidates observed."""
+    scan_idx = jnp.asarray(scan_idx, jnp.int32)
+    start = jnp.asarray(start, jnp.int32)
+    b = scan_idx.shape[0]
+    n1 = tables.node_mask.shape[1] + 1
+    gt_path = jnp.asarray(gt_path, jnp.int32)
+    gt_len = jnp.asarray(gt_len, jnp.int32)
+    goal = jnp.take_along_axis(gt_path, (gt_len - 1)[:, None], axis=1)[:, 0]
+
+    state = EpisodeBatch(
+        scan=scan_idx, cur=start,
+        heading=jnp.asarray(heading, jnp.float32),
+        elevation=jnp.zeros((b,), jnp.float32),
+        start=start, goal=goal, gt_path=gt_path, gt_len=gt_len,
+        visited=jnp.zeros((b, n1), bool),
+        obs_order=jnp.full((b, n1), UNOBS, jnp.int32),
+        obs_count=jnp.zeros((b,), jnp.int32),
+        step_ids=jnp.zeros((b, n1), jnp.int32),
+        stop_scores=jnp.full((b, n1), NEG_INF, jnp.float32),
+        embed_sum={r: jnp.zeros((b, n1, d), jnp.float32)
+                   for r, d in model_dims.items()},
+        embed_cnt={r: jnp.zeros((b, n1), jnp.float32)
+                   for r in model_dims},
+        mem={r: jnp.zeros((b, d), jnp.float32) for r, d in model_dims.items()},
+        ended=jnp.zeros((b,), bool),
+    )
+    # the start node is immediately "visited" (GraphMap.update_graph marks the
+    # current viewpoint visited on arrival)
+    state = state.replace(visited=state.visited.at[jnp.arange(b), start].set(True))
+    return _observe(state, tables)
+
+
+def _observe(state: EpisodeBatch, tables: Tables) -> EpisodeBatch:
+    """Register the current node and its candidates in the gmap, preserving
+    first-observation order (the reference's dict-insertion order,
+    agent.py:185-205 via GraphMap.update_graph)."""
+    b = state.batch_size
+    bi = jnp.arange(b)
+    trash = tables.node_mask.shape[1]
+
+    def add(obs_order, obs_count, idx, valid):
+        # idx: [B] node to observe (current), or [B, C] candidates.
+        # New nodes get increasing observation orders in slot order; .min is a
+        # safe combiner because assigned orders only ever grow.
+        if idx.ndim == 1:
+            new = valid & (obs_order[bi, idx] == UNOBS)
+            tgt = jnp.where(new, idx, trash)
+            obs_order = obs_order.at[bi, tgt].min(obs_count)
+            return obs_order, obs_count + new.astype(jnp.int32)
+        new = valid & (jnp.take_along_axis(obs_order, idx, axis=1) == UNOBS)
+        rank = jnp.cumsum(new.astype(jnp.int32), axis=1) - new.astype(jnp.int32)
+        order = obs_count[:, None] + rank
+        tgt = jnp.where(new, idx, trash)
+        obs_order = obs_order.at[bi[:, None], tgt].min(
+            jnp.where(new, order, UNOBS))
+        return obs_order, obs_count + new.sum(axis=1, dtype=jnp.int32)
+
+    live = ~state.ended
+    obs_order, obs_count = add(state.obs_order, state.obs_count, state.cur, live)
+    cand = tables.cand_ids[state.scan, state.cur]
+    cand_valid = tables.cand_mask[state.scan, state.cur] & live[:, None]
+    obs_order, obs_count = add(obs_order, obs_count,
+                               jnp.maximum(cand, 0), cand_valid & (cand >= 0))
+    return state.replace(obs_order=obs_order, obs_count=obs_count)
+
+
+class Rollout:
+    """Configured rollout: binds world tables, env config, and the model
+    apply functions.  The heavy entry points are plain methods you wrap in
+    ``jax.jit`` once (see agent/evaluator.py and agent/trainer.py)."""
+
+    def __init__(self, tables: Tables, env_cfg: EnvConfig, model,
+                 teacher_model=None):
+        self.t = tables
+        self.env = env_cfg
+        self.model = model
+        self.cfg: ModelConfig = model.cfg
+        self.teacher_model = teacher_model
+        self.t_cfg: ModelConfig | None = teacher_model.cfg if teacher_model else None
+        self.model_dims = {"student": self.cfg.hidden_size}
+        if teacher_model is not None:
+            self.model_dims["teacher"] = self.t_cfg.hidden_size
+
+    # ------------------------------------------------------------------
+    # step-input assembly (the reference's _panorama_feature_variable /
+    # _nav_gmap_variable / _nav_vp_variable_mem, as gathers)
+    # ------------------------------------------------------------------
+
+    def assemble_pano(self, state: EpisodeBatch):
+        t = self.t
+        b = state.batch_size
+        scan, cur = state.scan, state.cur
+        cand_ids = t.cand_ids[scan, cur]                     # [B, C]
+        cand_mask = t.cand_mask[scan, cur]
+        cand_view = t.cand_view[scan, cur]
+        feats36 = t.features[scan, cur].astype(jnp.float32)  # [B, 36, D]
+
+        cand_feat = jnp.take_along_axis(
+            feats36, cand_view[..., None], axis=1)           # [B, C, D]
+        cand_ang = gj.angle_feature(
+            t.cand_heading[scan, cur] - state.heading[:, None],
+            t.cand_elevation[scan, cur] - state.elevation[:, None],
+            self.cfg.angle_feat_size)
+        view_rel = gj.view_angles_relative(state.heading, state.elevation)
+        view_ang = gj.angle_feature(view_rel[..., 0], view_rel[..., 1],
+                                    self.cfg.angle_feat_size)
+        used = ((cand_view[:, :, None] == jnp.arange(36)[None, None, :])
+                & cand_mask[:, :, None]).any(axis=1)          # [B, 36]
+
+        view_img_fts = jnp.concatenate([cand_feat, feats36], axis=1)
+        ang = jnp.concatenate([cand_ang, view_ang], axis=1)
+        box = jnp.ones(ang.shape[:-1] + (3,), jnp.float32)
+        loc_fts = jnp.concatenate([ang, box], axis=-1)
+        pano_masks = jnp.concatenate([cand_mask, ~used], axis=1)
+        nav_types = jnp.concatenate(
+            [cand_mask.astype(jnp.int32),
+             jnp.zeros((b, 36), jnp.int32)], axis=1)
+        return {
+            "view_img_fts": view_img_fts, "loc_fts": loc_fts,
+            "nav_types": nav_types, "pano_masks": pano_masks,
+            "cand_ids": cand_ids, "cand_mask": cand_mask,
+        }
+
+    def update_node_embeds(self, state: EpisodeBatch, role: str,
+                           pano_embeds, pano_fused, cand_ids, cand_mask):
+        """Rewrite the current node with the fused pano embedding; accumulate
+        candidate-view embeddings into unvisited nodes (averaged on read),
+        matching GraphMap.update_node_embed semantics (agent.py:905-924)."""
+        b = state.batch_size
+        bi = jnp.arange(b)
+        trash = self.t.node_mask.shape[1]
+        live = ~state.ended
+
+        es = state.embed_sum[role]
+        ec = state.embed_cnt[role]
+        cur_t = jnp.where(live, state.cur, trash)
+        es = es.at[bi, cur_t].set(pano_fused)   # trash slot absorbs ended rows
+        ec = ec.at[bi, cur_t].set(1.0)
+
+        cand_visited = jnp.take_along_axis(
+            state.visited, jnp.maximum(cand_ids, 0), axis=1)
+        upd = cand_mask & ~cand_visited & live[:, None]
+        tgt = jnp.where(upd, cand_ids, trash)
+        cand_emb = pano_embeds[:, : cand_ids.shape[1]]
+        es = es.at[bi[:, None], tgt].add(
+            jnp.where(upd[..., None], cand_emb, 0.0))
+        ec = ec.at[bi[:, None], tgt].add(upd.astype(jnp.float32))
+        return state.replace(
+            embed_sum={**state.embed_sum, role: es},
+            embed_cnt={**state.embed_cnt, role: ec})
+
+    def assemble_gmap(self, state: EpisodeBatch, role: str):
+        t = self.t
+        env = self.env
+        b = state.batch_size
+        g = env.max_gmap_len
+        n = t.node_mask.shape[1]
+        bi = jnp.arange(b)[:, None]
+
+        observed = state.obs_order[:, :n] < UNOBS
+        # visited first (observation order), then frontier (observation order)
+        key = state.obs_order[:, :n] + jnp.where(state.visited[:, :n], 0, BIG)
+        k = min(g - 2, n)
+        token_node = jnp.argsort(key, axis=1)[:, :k].astype(jnp.int32)
+        token_valid = jnp.take_along_axis(observed, token_node, axis=1)
+        if k < g - 2:   # gmap budget exceeds scan size: pad with dead slots
+            pad = g - 2 - k
+            token_node = jnp.concatenate(
+                [token_node, jnp.zeros((b, pad), jnp.int32)], axis=1)
+            token_valid = jnp.concatenate(
+                [token_valid, jnp.zeros((b, pad), bool)], axis=1)
+
+        visited_tok = jnp.take_along_axis(state.visited[:, :n], token_node, 1)
+        gmap_masks = jnp.concatenate(
+            [jnp.ones((b, 1), bool), jnp.zeros((b, 1), bool),  # [stop], [mem]
+             token_valid], axis=1)
+        gmap_visited = jnp.concatenate(
+            [jnp.zeros((b, 1), bool), jnp.ones((b, 1), bool),
+             visited_tok & token_valid], axis=1)
+        step_ids = jnp.concatenate(
+            [jnp.zeros((b, 2), jnp.int32),
+             jnp.take_along_axis(state.step_ids[:, :n], token_node, 1)], axis=1)
+
+        emb = state.embed_sum[role][:, :n]
+        cnt = jnp.maximum(state.embed_cnt[role][:, :n], 1.0)
+        node_embed = emb / cnt[..., None]
+        tok_embed = jnp.take_along_axis(node_embed, token_node[..., None], 1)
+        mem_embed = state.mem[role]
+        d = tok_embed.shape[-1]
+        img_embeds = jnp.concatenate(
+            [jnp.zeros((b, 1, d)), mem_embed[:, None, :], tok_embed], axis=1)
+
+        cur_pos = t.positions[state.scan, state.cur]          # [B, 3]
+        tok_pos = t.positions[state.scan[:, None], token_node]
+        dist_row = t.dist[state.scan, state.cur]              # [B, N]
+        steps_row = t.steps[state.scan, state.cur]
+        gdist = jnp.take_along_axis(dist_row, token_node, 1)
+        gsteps = jnp.take_along_axis(steps_row, token_node, 1).astype(jnp.float32)
+        pos7 = gj.pos_features_7(cur_pos[:, None, :], tok_pos, gdist, gsteps,
+                                 state.heading, state.elevation,
+                                 self.cfg.angle_feat_size)
+        # [stop]/[mem] slots: angle features of (0, 0) + zero distances
+        # (reference env.py:218-219: rel_angles [0,0] -> [0,1,0,1])
+        null7 = jnp.concatenate(
+            [gj.angle_feature(jnp.zeros(()), jnp.zeros(()),
+                              self.cfg.angle_feat_size),
+             jnp.zeros((3,))])[None, None, :]
+        pos_fts = jnp.concatenate(
+            [jnp.broadcast_to(null7, (b, 2, null7.shape[-1])), pos7], axis=1)
+
+        # pairwise graph distances for the sprel bias (slots >= 2)
+        dists = t.dist[state.scan]                            # [B, N, N]
+        pair = dists[bi[..., None], token_node[:, :, None], token_node[:, None, :]]
+        pair = pair * (token_valid[:, :, None] & token_valid[:, None, :])
+        pair_dists = jnp.zeros((b, g, g), jnp.float32)
+        pair_dists = pair_dists.at[:, 2:, 2:].set(pair)
+
+        no_vp_left = ~((observed & ~state.visited[:, :n]).any(axis=1))
+        return {
+            "gmap_img_embeds": img_embeds, "gmap_step_ids": step_ids,
+            "gmap_pos_fts": pos_fts, "gmap_masks": gmap_masks,
+            "gmap_visited_masks": gmap_visited, "gmap_pair_dists": pair_dists,
+            "token_node": token_node, "token_valid": token_valid,
+            "no_vp_left": no_vp_left,
+        }
+
+    def assemble_vp(self, state: EpisodeBatch, role: str, pano,
+                    pano_embeds, gmap):
+        t = self.t
+        b = state.batch_size
+        cand_ids, cand_mask = pano["cand_ids"], pano["cand_mask"]
+        d = pano_embeds.shape[-1]
+
+        mem_embed = state.mem[role]
+        vp_img_embeds = jnp.concatenate(
+            [jnp.zeros((b, 1, d)), mem_embed[:, None, :], pano_embeds], axis=1)
+
+        cur_pos = t.positions[state.scan, state.cur]
+        start_pos = t.positions[state.scan, state.start]
+        dist_row = t.dist[state.scan, state.cur]
+        steps_row = t.steps[state.scan, state.cur]
+        start7 = gj.pos_features_7(
+            cur_pos[:, None, :], start_pos[:, None, :],
+            dist_row[jnp.arange(b), state.start][:, None],
+            steps_row[jnp.arange(b), state.start][:, None].astype(jnp.float32),
+            state.heading, state.elevation, self.cfg.angle_feat_size)[:, 0]
+
+        cand_safe = jnp.maximum(cand_ids, 0)
+        cand_pos = t.positions[state.scan[:, None], cand_safe]
+        cdist = jnp.take_along_axis(dist_row, cand_safe, 1)
+        csteps = jnp.take_along_axis(steps_row, cand_safe, 1).astype(jnp.float32)
+        cand7 = gj.pos_features_7(cur_pos[:, None, :], cand_pos, cdist, csteps,
+                                  state.heading, state.elevation,
+                                  self.cfg.angle_feat_size)
+
+        p2 = vp_img_embeds.shape[1]
+        vp_pos_fts = jnp.zeros((b, p2, 14), jnp.float32)
+        vp_pos_fts = vp_pos_fts.at[:, :, :7].set(start7[:, None, :])
+        vp_pos_fts = vp_pos_fts.at[:, 2:2 + cand7.shape[1], 7:].set(
+            cand7 * cand_mask[..., None])
+
+        vp_masks = jnp.concatenate(
+            [jnp.ones((b, 2), bool), pano["pano_masks"]], axis=1)
+        vp_nav_masks = jnp.concatenate(
+            [jnp.ones((b, 1), bool), jnp.zeros((b, 1), bool),
+             pano["nav_types"] == 1], axis=1)
+
+        # gmap token -> vp candidate slot (for dynamic fusion)
+        token_node = gmap["token_node"]
+        eq = (token_node[:, :, None] == cand_ids[:, None, :]) & \
+             cand_mask[:, None, :] & gmap["token_valid"][:, :, None]
+        slot = jnp.where(eq.any(-1), 2 + eq.argmax(-1).astype(jnp.int32), -1)
+        gmap_local_slot = jnp.concatenate(
+            [jnp.full((b, 2), -1, jnp.int32), slot], axis=1)
+
+        cand_visited = jnp.take_along_axis(state.visited, cand_safe, 1) & cand_mask
+        vp_cand_visited = jnp.concatenate(
+            [jnp.zeros((b, 2)), cand_visited.astype(jnp.float32),
+             jnp.zeros((b, 36))], axis=1)
+
+        return {
+            "vp_img_embeds": vp_img_embeds, "vp_pos_fts": vp_pos_fts,
+            "vp_masks": vp_masks, "vp_nav_masks": vp_nav_masks,
+            "gmap_local_slot": gmap_local_slot,
+            "vp_cand_visited": vp_cand_visited,
+        }
+
+    # ------------------------------------------------------------------
+    # supervision (the reference's _teacher_action, agent.py:330-373)
+    # ------------------------------------------------------------------
+
+    def teacher_action(self, state: EpisodeBatch, gmap, t_step: int,
+                       imitation: bool):
+        env = self.env
+        token_node = gmap["token_node"]
+        b = state.batch_size
+        if imitation:
+            # ground-truth next hop at step t (teacher forcing keeps the agent
+            # on gt_path, agent.py:339-347)
+            tt = jnp.minimum(jnp.full((b,), t_step + 1), state.gt_len - 1)
+            goal_vp = jnp.take_along_axis(state.gt_path, tt[:, None], axis=1)[:, 0]
+            stop = t_step >= (state.gt_len - 1)
+            eq = (token_node == goal_vp[:, None]) & gmap["token_valid"]
+            idx = 2 + eq.argmax(axis=1).astype(jnp.int32)
+            a = jnp.where(stop | ~eq.any(axis=1), 0, idx)
+        else:
+            # expert: min over unvisited gmap nodes of
+            # dist(cur -> node) + dist(node -> goal)  (spl policy,
+            # agent.py:364-366)
+            dists = self.t.dist[state.scan]
+            d_cur = jnp.take_along_axis(dists[jnp.arange(b), state.cur],
+                                        token_node, 1)
+            d_goal = dists[jnp.arange(b)[:, None], token_node, state.goal[:, None]]
+            visited_tok = jnp.take_along_axis(state.visited[:, :dists.shape[1]],
+                                              token_node, 1)
+            cost = jnp.where(gmap["token_valid"] & ~visited_tok,
+                             d_cur + d_goal, jnp.inf)
+            best = 2 + jnp.argmin(cost, axis=1).astype(jnp.int32)
+            stop = state.cur == state.goal
+            a = jnp.where(stop, 0, best)
+        return jnp.where(state.ended, env.ignore_id, a)
+
+    # ------------------------------------------------------------------
+    # transition (make_equiv_action, agent.py:375-404)
+    # ------------------------------------------------------------------
+
+    def transition(self, state: EpisodeBatch, gmap, action, stop_prob,
+                   t_step: int, feedback: str):
+        t = self.t
+        env = self.env
+        b = state.batch_size
+        bi = jnp.arange(b)
+        n = t.node_mask.shape[1]
+        trash = n
+        live = ~state.ended
+
+        # record this step's stop probability on the current node
+        # (node_stop_scores, agent.py:986-996)
+        cur_t = jnp.where(live, state.cur, trash)
+        stop_scores = state.stop_scores.at[bi, cur_t].set(
+            jnp.where(live, stop_prob, state.stop_scores[bi, cur_t]))
+
+        # stop determination (agent.py:1056-1076)
+        if feedback in ("teacher", "sample"):
+            wants_stop = state.cur == state.goal
+        else:
+            wants_stop = action == 0
+        wants_stop = wants_stop | (action == 0)
+        just_ended = live & (wants_stop | gmap["no_vp_left"]
+                             | (t_step == env.max_action_len - 1))
+        moving = live & ~just_ended
+
+        target = jnp.take_along_axis(
+            gmap["token_node"], jnp.maximum(action - 2, 0)[:, None], 1)[:, 0]
+        target = jnp.where(moving, target, state.cur)
+
+        # walk to the last-but-one node on the shortest path cur -> target to
+        # face the final edge (the reference reads the candidate view angle
+        # from the previous node, agent.py:387-393)
+        nh = t.next_hop[state.scan]
+
+        def walk(_, p):
+            nxt = nh[bi, p, target]
+            return jnp.where((p != target) & (nxt != target) & (nxt >= 0),
+                             nxt, p)
+
+        # bounded table walk; 32 hops >> any scan diameter
+        prev = jax.lax.fori_loop(0, 32, walk, state.cur)
+
+        cand_ids_prev = t.cand_ids[state.scan, prev]
+        eq = cand_ids_prev == target[:, None]
+        view = jnp.take_along_axis(
+            t.cand_view[state.scan, prev],
+            eq.argmax(axis=1)[:, None], 1)[:, 0]
+        has_edge = eq.any(axis=1)
+        new_heading = jnp.where(
+            moving & has_edge, (view % 12) * (jnp.pi / 6), state.heading)
+        new_elevation = jnp.where(
+            moving & has_edge, (view // 12 - 1) * (jnp.pi / 6), state.elevation)
+
+        new_cur = jnp.where(moving, target, state.cur)
+        visited = state.visited.at[bi, jnp.where(moving, new_cur, trash)].set(True)
+        # step id assigned when the node becomes current (agent.py:873-875 sets
+        # it at the top of step t for the current node)
+        step_ids = state.step_ids.at[bi, jnp.where(live, state.cur, trash)].set(
+            jnp.where(live, t_step + 1, 0))
+
+        state = state.replace(
+            cur=new_cur, heading=new_heading, elevation=new_elevation,
+            visited=visited, step_ids=step_ids, stop_scores=stop_scores,
+            ended=state.ended | just_ended)
+        state = _observe(state, self.t)
+        chosen = jnp.where(moving, target, -1)
+        return state, chosen, just_ended
+
+    # ------------------------------------------------------------------
+    # the scan driver (rollout, agent.py:722-1158)
+    # ------------------------------------------------------------------
+
+    def _model_step(self, model, params, role, state, txt_embeds, txt_masks,
+                    rng, deterministic):
+        """One model's per-step pipeline: pano forward -> gmap update ->
+        input assembly -> navigation forward."""
+        pano = self.assemble_pano(state)
+        rngs = None if deterministic else {"dropout": rng}
+        pano_embeds, pano_fused, img_attns = model.apply(
+            params, pano["view_img_fts"], pano["loc_fts"], pano["nav_types"],
+            pano["pano_masks"], deterministic=deterministic, rngs=rngs,
+            method=type(model).panorama)
+        state = self.update_node_embeds(state, role, pano_embeds, pano_fused,
+                                        pano["cand_ids"], pano["cand_mask"])
+        gmap = self.assemble_gmap(state, role)
+        vp = self.assemble_vp(state, role, pano, pano_embeds, gmap)
+        outs = model.apply(
+            params, txt_embeds, txt_masks,
+            gmap["gmap_img_embeds"], gmap["gmap_step_ids"], gmap["gmap_pos_fts"],
+            gmap["gmap_masks"], gmap["gmap_visited_masks"],
+            gmap["gmap_pair_dists"], vp["vp_img_embeds"], vp["vp_pos_fts"],
+            vp["vp_masks"], vp["vp_nav_masks"], vp["gmap_local_slot"],
+            vp["vp_cand_visited"], deterministic=deterministic, rngs=rngs,
+            method=type(model).navigation)
+        outs.update({"pano_embeds": pano_embeds, "pano_fused_embeds": pano_fused,
+                     "img_attns": img_attns})
+        state = state.replace(mem={**state.mem, role: outs["cls_embeds"]})
+        return state, gmap, outs
+
+    def select_action(self, logits, feedback, rng, nav_targets, gmap, state):
+        """Action choice per feedback mode (agent.py:1028-1054)."""
+        if feedback == "teacher":
+            a = jnp.maximum(nav_targets, 0)   # ignore_id rows are ended anyway
+        elif feedback == "argmax":
+            a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        elif feedback == "sample":
+            a = jax.random.categorical(rng, logits).astype(jnp.int32)
+        elif feedback == "expl_sample":
+            a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            k1, k2 = jax.random.split(rng)
+            explore = jax.random.uniform(k1, a.shape) > self.env.expl_max_ratio
+            mask = gmap["gmap_masks"] & ~gmap["gmap_visited_masks"]
+            r = jax.random.uniform(k2, mask.shape)
+            rand_a = jnp.argmax(jnp.where(mask, r, -1.0), axis=-1).astype(jnp.int32)
+            a = jnp.where(explore, rand_a, a)
+        else:
+            raise ValueError(f"invalid feedback {feedback}")
+        return a
+
+    def run(self, params, state: EpisodeBatch, txt_ids, txt_masks,
+            feedback: str, rng=None, train_ml: float | None = None,
+            deterministic: bool = True):
+        """Full episode rollout under ``lax.scan``.
+
+        Returns (final_state, aux) where aux carries the per-step chosen
+        target nodes ([T, B], -1 when not moving), the summed IL loss, and the
+        backtrack stop node — everything the evaluator/trainer needs.
+        """
+        model = self.model
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rngs = None if deterministic else {"dropout": rng}
+        txt_embeds, txt_attns = model.apply(
+            params, txt_ids, txt_masks, deterministic=deterministic, rngs=rngs,
+            method=type(model).language)
+
+        def step_fn(carry, t_step):
+            state, rng, ml_loss = carry
+            rng, k_drop, k_act = jax.random.split(rng, 3)
+            state, gmap, outs = self._model_step(
+                model, params, "student", state, txt_embeds, txt_masks,
+                k_drop, deterministic)
+            logits = outs["fused_logits"]
+            probs = jax.nn.softmax(logits, axis=-1)
+
+            nav_targets = None
+            step_ce = jnp.zeros((state.batch_size,))
+            if train_ml is not None or feedback == "teacher":
+                nav_targets = self.teacher_action(
+                    state, gmap, t_step, imitation=(feedback == "teacher"))
+                valid = nav_targets != self.env.ignore_id
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                tgt = jnp.maximum(nav_targets, 0)
+                step_ce = -jnp.take_along_axis(logp, tgt[:, None], 1)[:, 0] * valid
+                ml_loss = ml_loss + step_ce.sum()
+
+            a = self.select_action(logits, feedback, k_act, nav_targets, gmap,
+                                   state)
+            state, chosen, just_ended = self.transition(
+                state, gmap, a, probs[:, 0], t_step, feedback)
+            rec = {"chosen": chosen, "ce": step_ce,
+                   "logits0": probs[:, 0]}
+            return (state, rng, ml_loss), rec
+
+        (state, _, ml_loss), recs = jax.lax.scan(
+            step_fn, (state, rng, jnp.zeros(())),
+            jnp.arange(self.env.max_action_len))
+
+        aux = {
+            "actions": recs["chosen"],           # [T, B]
+            "ml_loss": ml_loss,
+            "stop_node": self.final_stop_node(state),
+            "final_cur": state.cur,
+        }
+        return state, aux
+
+    def final_stop_node(self, state: EpisodeBatch):
+        """Backtrack target: the visited node with the highest recorded stop
+        probability (agent.py:1080-1095)."""
+        n = self.t.node_mask.shape[1]
+        best = jnp.argmax(state.stop_scores[:, :n], axis=1).astype(jnp.int32)
+        has = jnp.take_along_axis(
+            state.stop_scores[:, :n], best[:, None], 1)[:, 0] > NEG_INF / 2
+        return jnp.where(has, best, state.cur)
