@@ -1,0 +1,106 @@
+import jax
+import numpy as np
+import pytest
+
+from vln_magic_tpu.config import (DistillConfig, EnvConfig, MagicConfig,
+                                  ModelConfig, TrainConfig)
+from vln_magic_tpu.agent.trainer import Trainer, make_lr_schedule
+from vln_magic_tpu.env import make_synthetic_world
+from vln_magic_tpu.env.synthetic import make_synthetic_instructions
+
+
+def _small_model(hidden, heads, kd=False, kd_target=64):
+    return ModelConfig(
+        vocab_size=300, hidden_size=hidden, num_attention_heads=heads,
+        num_l_layers=1, num_pano_layers=1, num_x_layers=1, image_feat_size=16,
+        max_position_embeddings=64, kd_heads=kd, kd_target_size=kd_target)
+
+
+@pytest.fixture(scope="module")
+def world():
+    return make_synthetic_world(num_scans=1, nodes_per_scan=14, feat_dim=16,
+                                seed=9)
+
+
+@pytest.fixture(scope="module")
+def items(world):
+    return make_synthetic_instructions(world, 8, np.random.default_rng(2),
+                                       vocab_size=300, min_path=2, max_path=4)
+
+
+def test_il_training_reduces_loss(world, items):
+    cfg = MagicConfig(
+        model=_small_model(32, 2),
+        env=EnvConfig(max_action_len=5, max_gmap_len=16),
+        train=TrainConfig(batch_size=4, lr=3e-4, train_alg="imitation",
+                          iters=100),
+    )
+    tr = Trainer(cfg, world)
+    batch = items[:4]
+    first = tr.train_step(batch)
+    for _ in range(14):
+        last = tr.train_step(batch)
+    assert np.isfinite(first["loss"]) and np.isfinite(last["loss"])
+    assert last["loss"] < first["loss"], (first, last)
+
+
+def test_dagger_step_runs(world, items):
+    cfg = MagicConfig(
+        model=_small_model(32, 2),
+        env=EnvConfig(max_action_len=4, max_gmap_len=16),
+        train=TrainConfig(batch_size=4, lr=1e-4, train_alg="dagger",
+                          ml_weight=0.2),
+    )
+    tr = Trainer(cfg, world)
+    m = tr.train_step(items[:4])
+    assert "il/ml_loss" in m and "dagger/ml_loss" in m
+    assert np.isfinite(m["loss"]) and m["grad_norm"] > 0
+
+
+def test_makd_distillation_step(world, items):
+    cfg = MagicConfig(
+        model=_small_model(32, 2, kd=True, kd_target=64),
+        teacher_model=_small_model(64, 2),
+        env=EnvConfig(max_action_len=4, max_gmap_len=16),
+        train=TrainConfig(batch_size=4, lr=1e-4, train_alg="imitation"),
+        distill=DistillConfig(train_kdl=True, teacher_sample_hard_mining=True,
+                              adaptive_ability_weight=True,
+                              adaptive_ability_weight_type="RW"),
+    )
+    tr = Trainer(cfg, world)
+    t_before = jax.tree_util.tree_leaves(tr.t_params)[0].copy()
+    m = tr.train_step(items[:4])
+    assert np.isfinite(m["il/kdl_loss"]) and m["il/kdl_loss"] > 0
+    # teacher is frozen without ICoD
+    t_after = jax.tree_util.tree_leaves(tr.t_params)[0]
+    np.testing.assert_array_equal(np.asarray(t_before), np.asarray(t_after))
+
+
+def test_icod_trains_teacher(world, items):
+    cfg = MagicConfig(
+        model=_small_model(32, 2, kd=True, kd_target=64),
+        teacher_model=_small_model(64, 2, kd=True, kd_target=32),
+        env=EnvConfig(max_action_len=4, max_gmap_len=16),
+        train=TrainConfig(batch_size=4, lr=1e-4, train_alg="imitation"),
+        distill=DistillConfig(train_kdl=True, train_teacher=True,
+                              t_lr=1e-4),
+    )
+    tr = Trainer(cfg, world)
+    t_before = np.asarray(
+        jax.tree_util.tree_leaves(tr.t_params)[0]).copy()
+    m = tr.train_step(items[:4])
+    assert np.isfinite(m["il/t_loss"])
+    t_after = np.asarray(jax.tree_util.tree_leaves(tr.t_params)[0])
+    assert not np.array_equal(t_before, t_after), "ICoD must update the teacher"
+
+
+def test_lr_schedules():
+    cfg = MagicConfig(train=TrainConfig(lr=1e-4, use_lr_sch=True,
+                                        lr_sch="cosine", warmup_iters=10,
+                                        iters=100))
+    sched = make_lr_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(10)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(sched(100)) < 1e-4
+    cfg2 = MagicConfig(train=TrainConfig(lr=1e-4))
+    assert float(make_lr_schedule(cfg2)(50)) == pytest.approx(1e-4)

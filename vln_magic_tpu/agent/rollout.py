@@ -545,29 +545,77 @@ class Rollout:
 
     def run(self, params, state: EpisodeBatch, txt_ids, txt_masks,
             feedback: str, rng=None, train_ml: float | None = None,
-            deterministic: bool = True):
+            deterministic: bool = True, teacher_params=None,
+            distill=None, ability_grads=None, use_teacher_policy=False):
         """Full episode rollout under ``lax.scan``.
 
-        Returns (final_state, aux) where aux carries the per-step chosen
-        target nodes ([T, B], -1 when not moving), the summed IL loss, and the
-        backtrack stop node — everything the evaluator/trainer needs.
+        Single-model greedy/IL rollout, or — when ``teacher_params`` and the
+        :class:`DistillConfig` ``distill`` are given — the fused dual-model
+        MAKD rollout: teacher and student run in the same jitted step, KD
+        losses accumulate across steps, and gradient flow is controlled purely
+        by ``stop_gradient`` placement (the reference's
+        detach/retain_graph choreography, agent.py:794-1026,
+        agent_base.py:260-276, collapses into one combined loss).
+
+        Returns (final_state, aux): per-step chosen target nodes ([T, B], -1
+        when not moving), summed IL losses, accumulated KD loss dicts, and the
+        backtrack stop node.
         """
+        from . import distill as D
+
         model = self.model
+        kdl = distill is not None and self.teacher_model is not None
+        icod = kdl and distill.train_teacher
+        mktd = kdl and distill.teacher_sample_hard_mining
         if rng is None:
             rng = jax.random.PRNGKey(0)
         rngs = None if deterministic else {"dropout": rng}
         txt_embeds, txt_attns = model.apply(
             params, txt_ids, txt_masks, deterministic=deterministic, rngs=rngs,
             method=type(model).language)
+        if kdl:
+            t_txt_embeds, t_txt_attns = self.teacher_model.apply(
+                teacher_params, txt_ids, txt_masks,
+                deterministic=deterministic, rngs=rngs,
+                method=type(self.teacher_model).language)
+
+            def s_project(name, x):
+                return model.apply(params, name, x,
+                                   method=type(model).kd_project)
+
+            s_learned = t_learned = None
+            ab_w_static = None
+            if distill.adaptive_ability_weight:
+                awt = distill.adaptive_ability_weight_type
+                if awt == "learned_weight":
+                    s_learned = model.apply(
+                        params, method=type(model).kd_ability_weights)
+                    if icod:
+                        t_learned = self.teacher_model.apply(
+                            teacher_params,
+                            method=type(self.teacher_model).kd_ability_weights)
+                elif awt == "grad" and ability_grads is not None:
+                    from .losses import grad_softmax_weights
+                    ab_w_static = grad_softmax_weights(
+                        jnp.asarray(ability_grads), distill.rw_temp)
 
         def step_fn(carry, t_step):
-            state, rng, ml_loss = carry
-            rng, k_drop, k_act = jax.random.split(rng, 3)
+            state, rng, ml_loss, t_ml_loss, kd_acc, t_kd_acc = carry
+            rng, k_drop, k_act, k_rw = jax.random.split(rng, 4)
             state, gmap, outs = self._model_step(
                 model, params, "student", state, txt_embeds, txt_masks,
                 k_drop, deterministic)
+            outs["txt_embeds"], outs["txt_attns"] = txt_embeds, txt_attns
             logits = outs["fused_logits"]
             probs = jax.nn.softmax(logits, axis=-1)
+
+            if kdl:
+                state, t_gmap, t_outs = self._model_step(
+                    self.teacher_model, teacher_params, "teacher", state,
+                    t_txt_embeds, txt_masks, k_drop, deterministic)
+                t_outs["txt_embeds"] = t_txt_embeds
+                t_outs["txt_attns"] = t_txt_attns
+                t_logits = t_outs["fused_logits"]
 
             nav_targets = None
             step_ce = jnp.zeros((state.batch_size,))
@@ -580,21 +628,62 @@ class Rollout:
                 step_ce = -jnp.take_along_axis(logp, tgt[:, None], 1)[:, 0] * valid
                 ml_loss = ml_loss + step_ce.sum()
 
-            a = self.select_action(logits, feedback, k_act, nav_targets, gmap,
-                                   state)
-            state, chosen, just_ended = self.transition(
-                state, gmap, a, probs[:, 0], t_step, feedback)
-            rec = {"chosen": chosen, "ce": step_ce,
-                   "logits0": probs[:, 0]}
-            return (state, rng, ml_loss), rec
+            if kdl and train_ml is not None:
+                # teacher per-sample CE -> MKTD weights + ICoD teacher IL loss
+                t_logp = jax.nn.log_softmax(t_logits, axis=-1)
+                tgt = jnp.maximum(nav_targets, 0)
+                valid = nav_targets != self.env.ignore_id
+                t_ce = -jnp.take_along_axis(t_logp, tgt[:, None], 1)[:, 0] * valid
+                t_ml_loss = t_ml_loss + t_ce.sum()
+                from .losses import mktd_sample_weights
+                t_sw = s_sw = None
+                if mktd:
+                    t_sw = jax.lax.stop_gradient(mktd_sample_weights(
+                        t_ce, distill.sample_preprocess,
+                        distill.sample_exp_decay))
+                    s_sw = jax.lax.stop_gradient(mktd_sample_weights(
+                        step_ce, distill.sample_preprocess,
+                        distill.sample_exp_decay))
 
-        (state, _, ml_loss), recs = jax.lax.scan(
-            step_fn, (state, rng, jnp.zeros(())),
+                ab_w = None
+                if distill.adaptive_ability_weight and \
+                        distill.adaptive_ability_weight_type == "RW":
+                    from .losses import mkrw_weights
+                    ab_w = mkrw_weights(k_rw, 5, distill.rw_temp)
+                elif ab_w_static is not None:
+                    ab_w = ab_w_static
+
+                kd_acc = D.add_losses(kd_acc, D.makd_step_losses(
+                    distill, t_step, outs, t_outs, s_project, nav_targets,
+                    ab_w, t_sw, s_learned, role="t2s",
+                    ignore_id=self.env.ignore_id))
+                if icod:
+                    t_kd_acc = D.add_losses(t_kd_acc, D.makd_step_losses(
+                        distill, t_step, t_outs, outs, s_project, nav_targets,
+                        ab_w, s_sw, t_learned, role="s2t",
+                        ignore_id=self.env.ignore_id))
+
+            policy_logits = t_logits if (kdl and use_teacher_policy) else logits
+            a = self.select_action(policy_logits, feedback, k_act, nav_targets,
+                                   gmap, state)
+            stop_prob = jax.nn.softmax(policy_logits, axis=-1)[:, 0]
+            state, chosen, just_ended = self.transition(
+                state, gmap, a, stop_prob, t_step, feedback)
+            rec = {"chosen": chosen, "ce": step_ce}
+            return (state, rng, ml_loss, t_ml_loss, kd_acc, t_kd_acc), rec
+
+        zeros = jnp.zeros(())
+        kd0 = D.zero_kd_losses()
+        (state, _, ml_loss, t_ml_loss, kd_acc, t_kd_acc), recs = jax.lax.scan(
+            step_fn, (state, rng, zeros, zeros, kd0, dict(kd0)),
             jnp.arange(self.env.max_action_len))
 
         aux = {
             "actions": recs["chosen"],           # [T, B]
             "ml_loss": ml_loss,
+            "t_ml_loss": t_ml_loss,
+            "kd_losses": kd_acc,
+            "t_kd_losses": t_kd_acc,
             "stop_node": self.final_stop_node(state),
             "final_cur": state.cur,
         }

@@ -1,0 +1,217 @@
+"""Training: IL / DAgger fine-tuning with fused MAKD distillation and ICoD.
+
+Replaces the reference's train loop (reference: map_nav_src/r2r/agent_base.py:
+215-296, agent.py:431-544, main_nav.py:165-541) with a single jitted train
+step: both DAgger rollouts (teacher-forced at ml_weight + on-policy sample at
+weight 1, run_r2r_kdl_valid.sh regime), both models, and both losses run in
+one compiled program; ICoD's two backwards
+(loss.backward(retain_graph=True); t_loss.backward(), agent_base.py:260-276)
+become one ``jax.grad`` over a combined loss with two parameter partitions
+and two optimizers (student at lr, teacher at t_lr).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import MagicConfig
+from ..env.world import World
+from ..models import DualScaleVLNBert
+from .distill import total_kd_loss
+from .navigator import episodes_from_items, pad_instructions
+from .rollout import Rollout, Tables, init_episodes
+
+
+def make_lr_schedule(cfg) -> optax.Schedule:
+    """Constant by default; warmup+cosine/linear/polynomial when use_lr_sch
+    (reference agent_base.py:24-32,144-149; parser.py:203-204)."""
+    t = cfg.train
+    if not t.use_lr_sch:
+        return optax.constant_schedule(t.lr)
+    decay_iters = max(t.iters - t.warmup_iters, 1)
+    if t.lr_sch == "cosine":
+        main = optax.cosine_decay_schedule(t.lr, decay_iters)
+    elif t.lr_sch == "linear":
+        main = optax.linear_schedule(t.lr, 0.0, decay_iters)
+    else:  # polynomial (reference default when use_lr_sch)
+        main = optax.polynomial_schedule(t.lr, 0.0, 1.0, decay_iters)
+    if t.warmup_iters > 0:
+        warm = optax.linear_schedule(0.0, t.lr, t.warmup_iters)
+        return optax.join_schedules([warm, main], [t.warmup_iters])
+    return main
+
+
+def make_optimizer(cfg, lr=None) -> optax.GradientTransformation:
+    t = cfg.train
+    sched = make_lr_schedule(cfg) if lr is None else optax.constant_schedule(lr)
+    opts = {
+        "adamw": lambda: optax.adamw(sched, weight_decay=t.weight_decay),
+        "adam": lambda: optax.adam(sched),
+        "sgd": lambda: optax.sgd(sched),
+        "rms": lambda: optax.rmsprop(sched),
+    }
+    return optax.chain(
+        optax.clip_by_global_norm(t.grad_clip),   # clip 40 (agent.py:457-462)
+        opts[t.optim.lower()](),
+    )
+
+
+class Trainer:
+    """Owns models, optimizers, and the jitted DAgger+MAKD train step."""
+
+    def __init__(self, cfg: MagicConfig, world: World, rng=None):
+        self.cfg = cfg
+        self.world = world
+        self.tables = Tables.from_world(world.tables)
+        if rng is None:
+            rng = jax.random.PRNGKey(cfg.train.seed)
+        k_s, k_t, self.rng = jax.random.split(rng, 3)
+
+        self.model = DualScaleVLNBert(cfg.model)
+        self.teacher_model = None
+        self.kdl = cfg.distill.train_kdl and cfg.teacher_model is not None
+        if self.kdl:
+            self.teacher_model = DualScaleVLNBert(cfg.teacher_model)
+        self.rollout = Rollout(self.tables, cfg.env, self.model,
+                               self.teacher_model)
+
+        self.params = self._init(self.model, cfg.model, k_s)
+        self.opt = make_optimizer(cfg)
+        self.opt_state = self.opt.init(self.params)
+        self.t_params = self.t_opt = self.t_opt_state = None
+        if self.kdl:
+            self.t_params = self._init(self.teacher_model, cfg.teacher_model, k_t)
+            if cfg.distill.train_teacher:
+                self.t_opt = make_optimizer(cfg, lr=cfg.distill.t_lr)
+                self.t_opt_state = self.t_opt.init(self.t_params)
+        self._step_fn = None
+        self.iteration = 0
+        self.logs = {}
+
+    def _init(self, model, mcfg, rng):
+        from ..models.vlnbert import dummy_step_batch
+
+        batch = dummy_step_batch(
+            mcfg, batch_size=1, txt_len=8,
+            pano_len=self.tables.cand_ids.shape[2] + 36,
+            gmap_len=self.cfg.env.max_gmap_len)
+        return model.init(rng, batch)
+
+    # ------------------------------------------------------------------
+
+    def _loss_for_rollout(self, params, t_params, state0, txt_ids, txt_masks,
+                          feedback, train_ml, rng):
+        c = self.cfg
+        d = c.distill if self.kdl else None
+        _, aux = self.rollout.run(
+            params, state0, txt_ids, txt_masks, feedback, rng,
+            train_ml=train_ml, deterministic=False,
+            teacher_params=t_params, distill=d)
+        bs = state0.batch_size
+        ml = aux["ml_loss"] * train_ml / bs
+        metrics = {"ml_loss": ml}
+        if self.kdl:
+            kd = total_kd_loss(aux["kd_losses"]) / bs
+            total = c.distill.alpha * kd + (1 - c.distill.alpha) * ml
+            metrics["kdl_loss"] = kd
+            if c.distill.train_teacher:
+                t_ml = aux["t_ml_loss"] * train_ml / bs
+                t_kd = total_kd_loss(aux["t_kd_losses"]) * train_ml
+                t_total = c.distill.t_alpha * t_kd + \
+                    (1 - c.distill.t_alpha) * t_ml
+                metrics["t_loss"] = t_total
+                return total, t_total, metrics
+        else:
+            total = ml
+        return total, jnp.zeros(()), metrics
+
+    def _make_step(self):
+        c = self.cfg
+        alg = c.train.train_alg
+        icod = self.kdl and c.distill.train_teacher
+
+        def loss_fn(params, t_params, state0, txt_ids, txt_masks, rng):
+            k1, k2 = jax.random.split(rng)
+            total = jnp.zeros(())
+            t_total = jnp.zeros(())
+            metrics = {}
+            if alg == "imitation":
+                l, tl, m = self._loss_for_rollout(
+                    params, t_params, state0, txt_ids, txt_masks,
+                    "teacher", 1.0, k1)
+                total, t_total = total + l, t_total + tl
+                metrics.update({f"il/{k}": v for k, v in m.items()})
+            else:  # dagger (run_r2r_kdl_valid.sh: ml_weight 0.2 + sample 1.0)
+                if c.train.ml_weight != 0:
+                    l, tl, m = self._loss_for_rollout(
+                        params, t_params, state0, txt_ids, txt_masks,
+                        "teacher", c.train.ml_weight, k1)
+                    total, t_total = total + l, t_total + tl
+                    metrics.update({f"il/{k}": v for k, v in m.items()})
+                l, tl, m = self._loss_for_rollout(
+                    params, t_params, state0, txt_ids, txt_masks,
+                    c.train.dagger_sample, 1.0, k2)
+                total, t_total = total + l, t_total + tl
+                metrics.update({f"dagger/{k}": v for k, v in m.items()})
+            metrics["loss"] = total
+            return total + t_total, metrics
+
+        def step(params, opt_state, t_params, t_opt_state, state0, txt_ids,
+                 txt_masks, rng):
+            if icod:
+                (loss, metrics), (grads, t_grads) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(
+                        params, t_params, state0, txt_ids, txt_masks, rng)
+                updates, opt_state = self.opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                t_updates, t_opt_state = self.t_opt.update(
+                    t_grads, t_opt_state, t_params)
+                t_params = optax.apply_updates(t_params, t_updates)
+            else:
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                        params, t_params, state0, txt_ids, txt_masks, rng)
+                updates, opt_state = self.opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return params, opt_state, t_params, t_opt_state, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1, 2, 3))
+
+    def train_step(self, items):
+        if self._step_fn is None:
+            self._step_fn = self._make_step()
+        txt_ids, txt_masks = pad_instructions(items, self.cfg.env.max_instr_len)
+        state0 = episodes_from_items(self.tables, self.world, items,
+                                     self.rollout.model_dims)
+        self.rng, k = jax.random.split(self.rng)
+        (self.params, self.opt_state, self.t_params, self.t_opt_state,
+         metrics) = self._step_fn(
+            self.params, self.opt_state, self.t_params, self.t_opt_state,
+            state0, jnp.asarray(txt_ids), jnp.asarray(txt_masks), k)
+        self.iteration += 1
+        return {k: float(v) for k, v in metrics.items()}
+
+    def fit(self, items, iters, log_every=100, rng=None, callback=None):
+        """Host loop: shuffle + minibatch + step (main_nav.py:322-455)."""
+        r = np.random.default_rng(self.cfg.train.seed)
+        bs = self.cfg.train.batch_size
+        order = r.permutation(len(items))
+        pos = 0
+        history = []
+        for it in range(iters):
+            if pos + bs > len(order):
+                order = r.permutation(len(items))
+                pos = 0
+            batch = [items[i] for i in order[pos : pos + bs]]
+            pos += bs
+            m = self.train_step(batch)
+            history.append(m)
+            if callback and (it + 1) % log_every == 0:
+                callback(it + 1, m)
+        return history
