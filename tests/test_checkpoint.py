@@ -1,0 +1,119 @@
+import numpy as np
+import jax
+import pytest
+
+from vln_magic_tpu.config import ModelConfig
+from vln_magic_tpu.models import DualScaleVLNBert
+from vln_magic_tpu.models.vlnbert import dummy_step_batch
+from vln_magic_tpu.utils.checkpoint import (CheckpointManager, flatten_params,
+                                            load_torch_checkpoint,
+                                            save_torch_checkpoint,
+                                            unflatten_params)
+from vln_magic_tpu.utils.hf_import import load_roberta_weights
+
+
+@pytest.fixture(scope="module")
+def small():
+    cfg = ModelConfig(vocab_size=120, hidden_size=32, num_attention_heads=2,
+                      num_l_layers=2, num_pano_layers=1, num_x_layers=1,
+                      image_feat_size=16, max_position_embeddings=80,
+                      kd_heads=True, kd_target_size=48)
+    model = DualScaleVLNBert(cfg)
+    params = model.init(jax.random.PRNGKey(0), dummy_step_batch(cfg))
+    return cfg, model, params
+
+
+def test_torch_roundtrip(tmp_path, small):
+    cfg, model, params = small
+    p = str(tmp_path / "ckpt.pt")
+    save_torch_checkpoint(params, p, epoch=7)
+    loaded, epoch, missing, unexpected = load_torch_checkpoint(p, template=params)
+    assert epoch == 7 and not missing and not unexpected
+    f0 = flatten_params(params)
+    f1 = flatten_params(loaded)
+    for k in f0:
+        np.testing.assert_array_equal(f0[k], f1[k])
+
+
+def test_torch_load_drops_kd_heads(tmp_path, small):
+    cfg, model, params = small
+    p = str(tmp_path / "ckpt.pt")
+    save_torch_checkpoint(params, p)
+    loaded, _, missing, unexpected = load_torch_checkpoint(
+        p, template=params, drop_kd_heads=True)
+    assert any("txt_emb_w" in m for m in missing)
+    assert not unexpected
+    # dropped heads keep the template values
+    f0, f1 = flatten_params(params), flatten_params(loaded)
+    kd_keys = [k for k in f0 if "txt_emb_w" in k]
+    for k in kd_keys:
+        np.testing.assert_array_equal(f0[k], f1[k])
+
+
+def test_module_prefix_stripping(tmp_path, small):
+    import torch
+
+    cfg, model, params = small
+    flat = flatten_params(params)
+    sd = {"module." + k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flat.items()}
+    p = str(tmp_path / "ddp.pt")
+    torch.save({"vln_bert": {"epoch": 1, "state_dict": sd}}, p)
+    loaded, epoch, missing, unexpected = load_torch_checkpoint(p, template=params)
+    assert not missing and not unexpected
+
+
+def test_shape_mismatch_raises(tmp_path, small):
+    import torch
+
+    cfg, model, params = small
+    flat = flatten_params(params)
+    k0 = next(iter(flat))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in flat.items()}
+    sd[k0] = torch.zeros(3, 3)
+    p = str(tmp_path / "bad.pt")
+    torch.save({"vln_bert": {"epoch": 0, "state_dict": sd}}, p)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_torch_checkpoint(p, template=params)
+
+
+def test_orbax_manager(tmp_path, small):
+    cfg, model, params = small
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    mgr.save_latest(params)
+    assert mgr.has("latest")
+    restored = mgr.restore("latest", template=params)
+    f0, f1 = flatten_params(params), flatten_params(restored)
+    for k in f0:
+        np.testing.assert_array_equal(f0[k], f1[k])
+
+
+def test_roberta_import(small):
+    from transformers import RobertaConfig, RobertaModel
+
+    cfg, model, params = small
+    hf_cfg = RobertaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=4, num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings)
+    hf = RobertaModel(hf_cfg)
+    hf_state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    new_params, loaded = load_roberta_weights(params, hf_state,
+                                              cfg.num_l_layers, jump_init=True)
+    assert len(loaded) > 20
+    flat = flatten_params(new_params)
+    # word embedding carried over
+    np.testing.assert_allclose(
+        flat["params.lang_encoder.word_embeddings.embedding"],
+        hf_state["embeddings.word_embeddings.weight"], rtol=1e-6)
+    # jump init: our layer 1 == HF layer 2 (transposed kernel)
+    np.testing.assert_allclose(
+        flat["params.lang_encoder.layer_1.attention.query.kernel"],
+        hf_state["encoder.layer.2.attention.self.query.weight"].T, rtol=1e-6)
+    # model still runs with the imported weights
+    from vln_magic_tpu.models.vlnbert import dummy_step_batch
+
+    outs = model.apply(new_params, dummy_step_batch(cfg))
+    assert np.isfinite(np.asarray(outs["cls_embeds"])).all()
