@@ -1,0 +1,319 @@
+"""Navigation train/valid orchestration CLI.
+
+Drop-in counterpart of the reference entry point (reference:
+map_nav_src/r2r/main_nav.py + parser.py): accepts the reference's public flag
+names verbatim (unknown flags are tolerated, as upstream does via
+``parse_known_args``), builds the dataset envs, and runs
+``--mode train|valid``.  Model selection follows the reference: spl+sr for
+R2R, nDTW+SDTW for RxR (main_nav.py:473-486).
+
+When the Matterport dataset tree is absent, the synthetic world backend is
+used so the full pipeline remains exercisable (SURVEY §4's fake-backend
+strategy).
+
+Usage:
+    python -m vln_magic_tpu.cli.main_nav --mode train --name exp1 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="vln_magic_tpu navigation")
+    # identity / IO (reference parser.py:8-31)
+    p.add_argument("--root_dir", type=str, default="")
+    p.add_argument("--dataset", type=str, default="r2r", choices=["r2r", "rxr"])
+    p.add_argument("--output_dir", type=str, default="runs")
+    p.add_argument("--name", type=str, default="debug")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mode", type=str, required=True)
+    p.add_argument("--tokenizer", default="roberta")
+    p.add_argument("--iters", type=int, default=200000)
+    p.add_argument("--log_every", type=int, default=1000)
+    p.add_argument("--eval_first", action="store_true", default=False)
+    # data (parser.py:33-36)
+    p.add_argument("--max_instr_len", type=int, default=200)
+    p.add_argument("--max_action_len", type=int, default=15)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--ignoreid", type=int, default=-100)
+    p.add_argument("--for_debug", action="store_true", default=False)
+    # checkpoints (parser.py:38-44)
+    p.add_argument("--resume_file", default=None)
+    p.add_argument("--teacher_resume_file", default=None)
+    p.add_argument("--bert_ckpt_file", default=None)
+    p.add_argument("--aug", default=None)
+    # optimization (parser.py:73-101)
+    p.add_argument("--ml_weight", type=float, default=0.2)
+    p.add_argument("--optim", type=str, default="adamW")
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--train_alg", choices=["imitation", "dagger"],
+                   default="dagger")
+    p.add_argument("--dagger_sample", default="sample")
+    p.add_argument("--feedback", type=str, default="sample")
+    p.add_argument("--expert_policy", default="spl", choices=["spl", "ndtw"])
+    p.add_argument("--use_lr_sch", action="store_true", default=False)
+    p.add_argument("--lr_sch", type=str, default="polynomial")
+    p.add_argument("--test", action="store_true", default=False)
+    p.add_argument("--submit", action="store_true", default=False)
+    # model dims (parser.py:56-58, 173-195)
+    p.add_argument("--num_l_layers", type=int, default=6)
+    p.add_argument("--num_pano_layers", type=int, default=2)
+    p.add_argument("--num_x_layers", type=int, default=3)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--feat_dropout", type=float, default=0.4)
+    p.add_argument("--features", type=str, default="clip768")
+    p.add_argument("--angle_feat_size", type=int, default=4)
+    p.add_argument("--student_hidden_size", type=int, default=384)
+    p.add_argument("--student_num_attention_heads", type=int, default=6)
+    p.add_argument("--teacher_hidden_size", type=int, default=768)
+    p.add_argument("--teacher_num_attention_heads", type=int, default=12)
+    # distillation (parser.py:145-197)
+    p.add_argument("--train_kdl", action="store_true", default=False)
+    p.add_argument("--train_kdl_noFeat", action="store_true", default=False)
+    p.add_argument("--train_kdl_noAttn", action="store_true", default=False)
+    p.add_argument("--train_kdl_noLogit", action="store_true", default=False)
+    p.add_argument("--kd_ability_types", nargs="+", type=str,
+                   default=["txt", "img", "local", "global", "action"])
+    p.add_argument("--kdl_feat_loss", type=str, default="mse")
+    p.add_argument("--kdl_attn_loss", type=str, default="mse")
+    p.add_argument("--kdl_logit_loss", type=str, default="kd")
+    p.add_argument("--kdl_temperature", type=float, default=1)
+    p.add_argument("--kdl_alpha", type=float, default=0.5)
+    p.add_argument("--kdl_dkd_alpha", type=float, default=1.0)
+    p.add_argument("--kdl_dkd_beta", type=float, default=8.0)
+    p.add_argument("--kd_loss_type", type=str, default="sum")
+    p.add_argument("--train_kdl_teacher", action="store_true", default=False)
+    p.add_argument("--t_lr", type=float, default=5e-6)
+    p.add_argument("--t_kdl_alpha", type=float, default=0.5)
+    p.add_argument("--kdl_adaptive_ability_weight", action="store_true",
+                   default=False)
+    p.add_argument("--kdl_adaptive_ability_weight_type", type=str, default="RW")
+    p.add_argument("--rw_temp", type=float, default=1.0)
+    p.add_argument("--aw_update_iter", type=int, default=3000)
+    p.add_argument("--teacher_sample_hard_mining", action="store_true",
+                   default=False)
+    p.add_argument("--t_sample_preprocess", type=str, default="exp")
+    p.add_argument("--t_sample_preprocess_exp_decay", type=float, default=0.7)
+    # causal learning (parser.py:128-143)
+    p.add_argument("--do_back_img", action="store_true", default=False)
+    p.add_argument("--do_back_txt", action="store_true", default=False)
+    p.add_argument("--do_front_img", action="store_true", default=False)
+    p.add_argument("--do_front_his", action="store_true", default=False)
+    p.add_argument("--do_front_txt", action="store_true", default=False)
+    p.add_argument("--do_back_txt_type", type=str, default="type_2")
+    p.add_argument("--do_add_method", type=str, default="door")
+    p.add_argument("--z_instr_update", action="store_true", default=False)
+    p.add_argument("--update_iter", type=int, default=3000)
+    p.add_argument("--front_n_clusters", type=int, default=24)
+    # synthetic fallback knobs (framework addition)
+    p.add_argument("--synthetic_scans", type=int, default=2)
+    p.add_argument("--synthetic_nodes", type=int, default=24)
+    p.add_argument("--synthetic_items", type=int, default=64)
+    p.add_argument("--synthetic_feat_dim", type=int, default=64)
+
+    args, _ = p.parse_known_args(argv)
+    out_root = os.path.join(args.output_dir,
+                            "navigator" if "train" in args.mode else "test",
+                            args.name)
+    args.ckpt_dir = os.path.join(out_root, "ckpts")
+    args.log_dir = os.path.join(out_root, "logs")
+    args.pred_dir = os.path.join(out_root, "preds")
+    for d in (args.ckpt_dir, args.log_dir, args.pred_dir):
+        os.makedirs(d, exist_ok=True)
+    args.connectivity_dir = os.path.join(args.root_dir, "R2R", "connectivity")
+    args.anno_dir = os.path.join(args.root_dir, "R2R", "annotations")
+    args.img_ft_file = os.path.join(args.root_dir, "R2R", "features",
+                                    "CLIP-ViT-B-16-views.hdf5")
+    return args
+
+
+def build_dataset(args, cfg):
+    """World + per-split item lists; real data when mounted, synthetic
+    otherwise (main_nav.py:31-163 equivalent)."""
+    from ..env.world import World
+    from ..env.graph import load_connectivity
+
+    feat_dim = cfg.model.image_feat_size
+    if os.path.isdir(args.connectivity_dir):
+        from ..data import ImageFeatureStore, construct_instrs, get_tokenizer
+        from ..data.annotations import attach_path_indices
+        from ..data.features import HashFeatureStore
+
+        tok = get_tokenizer(os.path.join(args.root_dir, "pretrained", "roberta"))
+        splits = {}
+        for split in ("train", "val_seen", "val_unseen"):
+            try:
+                splits[split] = construct_instrs(
+                    args.anno_dir, args.dataset, [split], tok,
+                    args.max_instr_len, args.for_debug)
+            except FileNotFoundError:
+                continue
+        scans = sorted({it["scan"] for items in splits.values() for it in items})
+        store = ImageFeatureStore(args.img_ft_file, feat_dim) \
+            if os.path.exists(args.img_ft_file) else HashFeatureStore(feat_dim)
+        graphs = [load_connectivity(args.connectivity_dir, s) for s in scans]
+        world = World(graphs, store.feature_fn(), feat_dim)
+        splits = {k: attach_path_indices(v, world) for k, v in splits.items()}
+        return world, splits
+
+    # synthetic fallback
+    from ..env.synthetic import make_synthetic_instructions, make_synthetic_world
+
+    world = make_synthetic_world(
+        num_scans=args.synthetic_scans, nodes_per_scan=args.synthetic_nodes,
+        feat_dim=feat_dim, seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+    n = args.synthetic_items
+    splits = {
+        "train": make_synthetic_instructions(world, n, rng),
+        "val_seen": make_synthetic_instructions(world, max(n // 4, 4), rng),
+        "val_unseen": make_synthetic_instructions(world, max(n // 4, 4), rng),
+    }
+    return world, splits
+
+
+def _score(avg, dataset):
+    # best-model criterion (main_nav.py:473-486)
+    if dataset == "rxr":
+        return avg["nDTW"] + avg["SDTW"]
+    return avg["spl"] + avg["sr"]
+
+
+def train(args, cfg, world, splits):
+    import jax
+
+    from ..agent.navigator import Navigator
+    from ..agent.trainer import Trainer
+    from ..utils.checkpoint import load_torch_checkpoint, save_torch_checkpoint
+    from ..utils.logging import MetricsLogger, write_to_record_file
+
+    record = os.path.join(args.log_dir, "train.txt")
+    logger = MetricsLogger(args.log_dir)
+    with open(os.path.join(args.log_dir, "training_args.json"), "w") as f:
+        json.dump({k: v for k, v in vars(args).items()
+                   if isinstance(v, (int, float, str, bool, list, type(None)))},
+                  f, indent=2)
+
+    trainer = Trainer(cfg, world)
+    if args.resume_file:
+        trainer.params, epoch, miss, unexp = load_torch_checkpoint(
+            args.resume_file, template=trainer.params)
+        write_to_record_file(
+            f"resumed {args.resume_file} (epoch {epoch}, "
+            f"{len(miss)} missing, {len(unexp)} unexpected)", record)
+    if args.teacher_resume_file and trainer.t_params is not None:
+        trainer.t_params, _, _, _ = load_torch_checkpoint(
+            args.teacher_resume_file, template=trainer.t_params,
+            drop_kd_heads=not cfg.distill.train_teacher)
+    elif args.bert_ckpt_file:
+        trainer.params, _, _, _ = load_torch_checkpoint(
+            args.bert_ckpt_file, template=trainer.params)
+
+    nav = Navigator(cfg, world, params=trainer.params)
+    best = {s: -1.0 for s in splits if s.startswith("val")}
+    t0 = time.time()
+    it = 0
+    while it < args.iters:
+        interval = min(args.log_every, args.iters - it)
+        hist = trainer.fit(splits["train"], interval)
+        it += interval
+        mean = {k: float(np.mean([h[k] for h in hist if k in h]))
+                for k in hist[-1]}
+        logger.log(it, {f"loss/{k}": v for k, v in mean.items()})
+        write_to_record_file(
+            f"iter {it}/{args.iters} loss={mean.get('loss', 0):.3f} "
+            f"({time.time() - t0:.0f}s)", record)
+
+        nav.params = trainer.params
+        for split, items in splits.items():
+            if not split.startswith("val") or not items:
+                continue
+            (avg, _), _ = nav.evaluate(items)
+            logger.log(it, {f"{split}/{k}": v for k, v in avg.items()
+                            if isinstance(v, float)})
+            write_to_record_file(
+                f"  {split}: sr={avg['sr']:.1f} spl={avg['spl']:.1f} "
+                f"nDTW={avg['nDTW']:.1f}", record)
+            score = _score(avg, args.dataset)
+            if score > best[split]:
+                best[split] = score
+                save_torch_checkpoint(
+                    trainer.params,
+                    os.path.join(args.ckpt_dir, f"best_{split}.pt"), epoch=it)
+        save_torch_checkpoint(
+            trainer.params, os.path.join(args.ckpt_dir, "latest_dict.pt"),
+            epoch=it)
+        if trainer.t_params is not None and cfg.distill.train_teacher:
+            save_torch_checkpoint(
+                trainer.t_params,
+                os.path.join(args.ckpt_dir, "teacher_latest_dict.pt"), epoch=it)
+    logger.close()
+    return trainer
+
+
+def valid(args, cfg, world, splits):
+    from ..agent.evaluator import submission_format
+    from ..agent.navigator import Navigator
+    from ..utils.checkpoint import load_torch_checkpoint
+    from ..utils.logging import write_to_record_file
+
+    record = os.path.join(args.log_dir, "valid.txt")
+    nav = Navigator(cfg, world)
+    if args.resume_file:
+        nav.params, epoch, _, _ = load_torch_checkpoint(
+            args.resume_file, template=nav.params)
+        write_to_record_file(f"loaded {args.resume_file} (epoch {epoch})",
+                             record)
+    results = {}
+    for split, items in splits.items():
+        if split == "train" or not items:
+            continue
+        t0 = time.time()
+        (avg, _), preds = nav.evaluate(items)
+        write_to_record_file(
+            f"{split}: {json.dumps({k: round(v, 2) for k, v in avg.items()})} "
+            f"(cost time: {time.time() - t0:.1f}s)", record)
+        results[split] = avg
+        if args.submit:
+            with open(os.path.join(args.pred_dir, f"submit_{split}.json"),
+                      "w") as f:
+                json.dump(submission_format(preds), f)
+    return results
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..config import from_reference_flags
+
+    cfg = from_reference_flags(vars(args))
+    if not os.path.isdir(args.connectivity_dir):
+        # synthetic fallback needs matching dims
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, image_feat_size=args.synthetic_feat_dim,
+                vocab_size=min(cfg.model.vocab_size, 2000)))
+        if cfg.teacher_model is not None:
+            cfg = dataclasses.replace(
+                cfg, teacher_model=dataclasses.replace(
+                    cfg.teacher_model,
+                    image_feat_size=args.synthetic_feat_dim,
+                    vocab_size=min(cfg.teacher_model.vocab_size, 2000)))
+    world, splits = build_dataset(args, cfg)
+    if args.mode == "train":
+        return train(args, cfg, world, splits)
+    if args.mode == "valid":
+        return valid(args, cfg, world, splits)
+    raise SystemExit(f"unknown mode {args.mode}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from .annotations import construct_instrs, load_instr_datasets
+from .features import ImageFeatureStore, HashFeatureStore
+from .tokenizer import get_tokenizer, HashTokenizer
