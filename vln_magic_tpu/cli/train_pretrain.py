@@ -1,0 +1,129 @@
+"""Pretraining orchestration CLI.
+
+Counterpart of the reference's ``pretrain_src/train_r2r_magic.py`` launcher
+(argparse + JSON-config merge where CLI wins, pretrain_src/parser.py:151-162):
+``--config`` points at a training JSON (batch size, lr, steps, task ratios,
+kdl block) and ``--model_config`` at a model JSON using the reference key
+names (teacher_*/student_* promotion, train_r2r_magic.py:127-160).
+
+Usage:
+    python -m vln_magic_tpu.cli.train_pretrain --config cfg.json \
+        --output_dir runs/pretrain [--mode train|valid]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None)
+    p.add_argument("--model_config", default=None)
+    p.add_argument("--output_dir", default="runs/pretrain")
+    p.add_argument("--mode", default="train")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_train_steps", type=int, default=1000)
+    p.add_argument("--train_batch_size", type=int, default=8)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--valid_steps", type=int, default=200)
+    p.add_argument("--log_steps", type=int, default=50)
+    p.add_argument("--train_kdl", action="store_true", default=False)
+    p.add_argument("--checkpoint", default=None)
+    # synthetic fallback knobs
+    p.add_argument("--synthetic_scans", type=int, default=2)
+    p.add_argument("--synthetic_nodes", type=int, default=24)
+    p.add_argument("--synthetic_items", type=int, default=128)
+    p.add_argument("--synthetic_feat_dim", type=int, default=64)
+    args, _ = p.parse_known_args(argv)
+
+    # JSON-config merge, CLI wins (pretrain_src/parser.py:151-162)
+    if args.config and os.path.exists(args.config):
+        with open(args.config) as f:
+            blob = json.load(f)
+        given = {a.split("=")[0].lstrip("-") for a in (argv or [])}
+        for k, v in blob.items():
+            if hasattr(args, k) and k not in given:
+                setattr(args, k, v)
+        args.config_blob = blob
+    else:
+        args.config_blob = {}
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..config import MagicConfig, ModelConfig, DistillConfig, TrainConfig, \
+        from_reference_flags
+    from ..env.synthetic import make_synthetic_instructions, make_synthetic_world
+    from ..pretrain.trainer import PretrainTrainer
+    from ..utils.checkpoint import CheckpointManager
+    from ..utils.logging import MetricsLogger, write_to_record_file
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    record = os.path.join(args.output_dir, "pretrain.txt")
+    logger = MetricsLogger(args.output_dir)
+
+    model_blob = {}
+    if args.model_config and os.path.exists(args.model_config):
+        with open(args.model_config) as f:
+            model_blob = json.load(f)
+    flags = {**model_blob, **args.config_blob}
+    flags.setdefault("train_kdl", args.train_kdl)
+    cfg = from_reference_flags(flags)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model,
+                                  image_feat_size=args.synthetic_feat_dim,
+                                  vocab_size=min(cfg.model.vocab_size, 2000)),
+        train=dataclasses.replace(cfg.train,
+                                  batch_size=args.train_batch_size,
+                                  lr=args.learning_rate, seed=args.seed))
+    if cfg.teacher_model is not None:
+        cfg = dataclasses.replace(
+            cfg, teacher_model=dataclasses.replace(
+                cfg.teacher_model, image_feat_size=args.synthetic_feat_dim,
+                vocab_size=min(cfg.teacher_model.vocab_size, 2000)))
+
+    world = make_synthetic_world(num_scans=args.synthetic_scans,
+                                 nodes_per_scan=args.synthetic_nodes,
+                                 feat_dim=args.synthetic_feat_dim,
+                                 seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+    train_items = make_synthetic_instructions(world, args.synthetic_items, rng,
+                                              vocab_size=cfg.model.vocab_size)
+    val_items = make_synthetic_instructions(world, args.synthetic_items // 4,
+                                            rng, vocab_size=cfg.model.vocab_size)
+
+    trainer = PretrainTrainer(cfg, world,
+                              builder_kwargs=dict(max_steps=8, max_gmap=32))
+    mgr = CheckpointManager(os.path.join(args.output_dir, "ckpts"))
+    if args.checkpoint and mgr.has(args.checkpoint):
+        trainer.params = mgr.restore(args.checkpoint, template=trainer.params)
+
+    ratios = args.config_blob.get("mix_ratio", {"mlm": 1, "sap": 1, "cfp": 1})
+    done = 0
+    while done < args.num_train_steps:
+        n = min(args.valid_steps, args.num_train_steps - done)
+        hist = trainer.fit(train_items, n, task_ratios=ratios)
+        done += n
+        mean_loss = float(np.mean([h["loss"] for h in hist]))
+        logger.log(done, {"pretrain/loss": mean_loss})
+        val = trainer.validate(val_items, num_batches=2)
+        logger.log(done, {f"val/{k}": v for k, v in val.items()})
+        write_to_record_file(
+            f"step {done}/{args.num_train_steps} loss={mean_loss:.3f} "
+            + " ".join(f"{k}={v:.3f}" for k, v in val.items()), record)
+        mgr.save("latest", trainer.params)
+        mgr.save(f"model_step_{done}", trainer.params)
+    logger.close()
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

@@ -48,29 +48,37 @@ class LanguageEncoder(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not compact) so the word embedding is reachable for
+        # MLM decoder weight tying (pretrain/model.py)
+        c = self.cfg
+        self.word_embeddings = nn.Embed(c.vocab_size, c.hidden_size,
+                                        dtype=self.dtype)
+        self.position_embeddings = nn.Embed(c.max_position_embeddings,
+                                            c.hidden_size, dtype=self.dtype)
+        self.token_type_embeddings = nn.Embed(max(c.type_vocab_size, 1),
+                                              c.hidden_size, dtype=self.dtype)
+        self.emb_norm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype)
+        self.emb_dropout = nn.Dropout(c.hidden_dropout)
+        self.layers = [
+            TransformerLayer(
+                c.hidden_size, c.num_attention_heads, c.intermediate_size,
+                c.hidden_dropout, c.attention_dropout, c.layer_norm_eps,
+                dtype=self.dtype, name=f"layer_{i}")
+            for i in range(c.num_l_layers)
+        ]
+
     def __call__(self, txt_ids, txt_masks, deterministic=True):
         c = self.cfg
         positions = jnp.arange(txt_ids.shape[1])[None, :] + c.pad_token_id + 1
-        x = (
-            nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
-                     name="word_embeddings")(txt_ids)
-            + nn.Embed(c.max_position_embeddings, c.hidden_size, dtype=self.dtype,
-                       name="position_embeddings")(positions)
-            + nn.Embed(max(c.type_vocab_size, 1), c.hidden_size, dtype=self.dtype,
-                       name="token_type_embeddings")(jnp.zeros_like(txt_ids))
-        )
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
-                         name="emb_norm")(x)
-        x = nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
-
+        x = (self.word_embeddings(txt_ids)
+             + self.position_embeddings(positions)
+             + self.token_type_embeddings(jnp.zeros_like(txt_ids)))
+        x = self.emb_norm(x)
+        x = self.emb_dropout(x, deterministic=deterministic)
         attns = []
-        for i in range(c.num_l_layers):
-            x, probs = TransformerLayer(
-                c.hidden_size, c.num_attention_heads, c.intermediate_size,
-                c.hidden_dropout, c.attention_dropout, c.layer_norm_eps,
-                dtype=self.dtype, name=f"layer_{i}",
-            )(x, txt_masks, deterministic=deterministic)
+        for layer in self.layers:
+            x, probs = layer(x, txt_masks, deterministic=deterministic)
             attns.append(probs)
         return x, jnp.stack(attns, axis=1)
 

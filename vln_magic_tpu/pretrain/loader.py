@@ -1,0 +1,53 @@
+"""Task-mixing loader.
+
+The reference's MetaLoader samples the next proxy task from a multinomial
+over per-task sampling ratios and broadcasts the choice over ranks
+(reference: pretrain_src/data/loader.py:18-88, dist.broadcast at 56-59).
+In SPMD JAX there is nothing to broadcast: every host draws from the same
+seeded generator, so the sequence is identical by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class MetaLoader:
+    """Round-robin-free multinomial task sampler over named batch factories."""
+
+    def __init__(self, tasks: dict, ratios: dict | None = None, seed: int = 0):
+        """``tasks``: name -> callable(batch_size) -> batch dict."""
+        self.names = list(tasks)
+        self.tasks = tasks
+        r = np.array([float((ratios or {}).get(n, 1.0)) for n in self.names])
+        self.p = r / r.sum()
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        name = self.rng.choice(self.names, p=self.p)
+        return name, self.tasks[name]()
+
+    def sample_sequence(self, n):
+        return [self.rng.choice(self.names, p=self.p) for _ in range(n)]
+
+
+class ItemSampler:
+    """Epoch-shuffled minibatch cycler over an item list."""
+
+    def __init__(self, items, batch_size: int, seed: int = 0):
+        self.items = items
+        self.bs = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.order = self.rng.permutation(len(items))
+        self.pos = 0
+
+    def next_batch(self):
+        if self.pos + self.bs > len(self.order):
+            self.order = self.rng.permutation(len(self.items))
+            self.pos = 0
+        idx = self.order[self.pos : self.pos + self.bs]
+        self.pos += self.bs
+        return [self.items[i] for i in idx]

@@ -1,0 +1,287 @@
+"""Proxy-task data assembly: trajectory batches + MLM/MRC/SAP/CFP inputs.
+
+Host-side counterpart of the reference's ReverieTextPathData /
+R2RTextPathData + task datasets (reference: pretrain_src/data/dataset.py:137-
+786, tasks.py:11-678), rebuilt against the world tables: fixed-shape padded
+batches, identical token layouts to the navigator rollout ([stop],[mem],
+visited...,frontier... gmap; [stop],[mem],cands...,views... panorama) so
+pretrained weights transfer exactly.
+
+This is the data layer (cold path) — plain numpy, one pass per batch; the
+model consumes the result entirely on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..env.geometry import get_angle_fts, gmap_pos_features, ALL_VIEW_ANGLES
+from ..env.world import World
+
+TRAIN_MAX_STEP = 20   # truncation (reference dataset.py:377, env.py:24)
+
+
+def mlm_mask(tokens: np.ndarray, rng: np.random.Generator, mask_token: int,
+             vocab_size: int, mask_prob: float = 0.15,
+             special_ids=(0, 1, 2)):
+    """BERT 15% / 80-10-10 masking (reference pretrain_src/data/tasks.py:
+    11-52).  Returns (masked_tokens, labels) with -100 on unmasked."""
+    tokens = tokens.copy()
+    labels = np.full_like(tokens, -100)
+    maskable = ~np.isin(tokens, special_ids)
+    sel = (rng.random(tokens.shape) < mask_prob) & maskable
+    if not sel.any():    # always mask at least one position
+        idx = np.flatnonzero(maskable.reshape(-1))
+        if len(idx):
+            sel.reshape(-1)[rng.choice(idx)] = True
+    labels[sel] = tokens[sel]
+    roll = rng.random(tokens.shape)
+    tokens[sel & (roll < 0.8)] = mask_token
+    rand = sel & (roll >= 0.8) & (roll < 0.9)
+    tokens[rand] = rng.integers(4, vocab_size, rand.sum())
+    return tokens, labels
+
+
+class PathDataBuilder:
+    """Builds fixed-shape pretraining batches from (world, items)."""
+
+    def __init__(self, world: World, max_steps: int = 8, max_gmap: int = 48,
+                 max_txt: int = 64, angle_feat_size: int = 4,
+                 image_prob_size: int = 1000, mask_token: int = 3,
+                 vocab_size: int = 50265, seed: int = 0):
+        self.world = world
+        self.t = world.tables
+        self.S = max_steps
+        self.G = max_gmap
+        self.L = max_txt
+        self.afs = angle_feat_size
+        self.prob_size = image_prob_size
+        self.mask_token = mask_token
+        self.vocab_size = vocab_size
+        self.rng = np.random.default_rng(seed)
+        self.P = self.t.max_candidates + 36
+
+    # ----- per-item assembly -----
+
+    def _headings_along(self, si, path):
+        """Arrival heading/elevation per step (get_cur_angle semantics,
+        reference env.py:237-247)."""
+        t = self.t
+        hs, es = [0.0], [0.0]
+        for prev, cur in zip(path[:-1], path[1:]):
+            cands = t.cand_ids[si, prev]
+            j = int(np.argmax(cands == cur))
+            view = int(t.cand_view[si, prev, j]) if cands[j] == cur else 12
+            hs.append((view % 12) * np.pi / 6)
+            es.append((view // 12 - 1) * np.pi / 6)
+        return np.array(hs), np.array(es)
+
+    def _pano_step(self, si, node, heading, elevation):
+        t = self.t
+        C = t.max_candidates
+        cand_mask = t.cand_mask[si, node]
+        cand_view = t.cand_view[si, node]
+        feats36 = np.asarray(t.features[si, node], np.float32)
+        cand_feat = feats36[cand_view]
+        cand_ang = get_angle_fts(t.cand_heading[si, node] - heading,
+                                 t.cand_elevation[si, node] - elevation,
+                                 self.afs)
+        view_ang = get_angle_fts(ALL_VIEW_ANGLES[:, 0] - heading,
+                                 ALL_VIEW_ANGLES[:, 1] - elevation, self.afs)
+        used = np.zeros(36, bool)
+        used[cand_view[cand_mask]] = True
+        view_fts = np.concatenate([cand_feat, feats36], 0)
+        ang = np.concatenate([cand_ang, view_ang], 0)
+        loc = np.concatenate([ang, np.ones((self.P, 3), np.float32)], 1)
+        pano_mask = np.concatenate([cand_mask, ~used])
+        nav_types = np.concatenate([cand_mask.astype(np.int32),
+                                    np.zeros(36, np.int32)])
+        return view_fts, loc, nav_types, pano_mask
+
+    def build_item(self, item, end_step=None):
+        """Assemble one partial-path sample ending at ``end_step`` (sampled
+        uniformly when None, the SapDataset regime)."""
+        si = item["scan_idx"]
+        t = self.t
+        path = list(np.asarray(item["path_idx"]))[:TRAIN_MAX_STEP]
+        k = len(path)
+        if end_step is None:
+            end_step = int(self.rng.integers(0, k))
+        end_step = min(end_step, self.S - 1, k - 1)
+        visited = path[: end_step + 1]
+        hs, es = self._headings_along(si, visited)
+        cur = visited[-1]
+        cur_h, cur_e = hs[-1], es[-1]
+
+        S, P, G = self.S, self.P, self.G
+        feat_dim = t.feat_dim
+        view_fts = np.zeros((S, P, feat_dim), np.float32)
+        loc_fts = np.zeros((S, P, 4 + 3), np.float32)
+        nav_types = np.zeros((S, P), np.int32)
+        pano_masks = np.zeros((S, P), bool)
+        traj_mask = np.zeros((S,), bool)
+
+        # gmap bookkeeping: first-observation order along the walk
+        order = {}          # node -> (src_step, src_slot)
+        for s, node in enumerate(visited):
+            v, l, nt, pm = self._pano_step(si, node, hs[s], es[s])
+            view_fts[s], loc_fts[s], nav_types[s], pano_masks[s] = v, l, nt, pm
+            traj_mask[s] = True
+            if node not in order:
+                order[node] = (s, -1)
+            else:
+                order[node] = (s, -1)   # revisit: rewrite with newest step
+            for j, (c, cm) in enumerate(zip(t.cand_ids[si, node],
+                                            t.cand_mask[si, node])):
+                if cm and int(c) not in order:
+                    order[int(c)] = (s, j)
+        vis_set = set(visited)
+        visited_nodes = [n for n in order if n in vis_set]
+        frontier = [n for n in order if n not in vis_set]
+        # visited in path order, frontier in observation order (matches the
+        # rollout's argsort key)
+        visited_nodes = sorted(visited_nodes, key=lambda n: visited.index(n))
+        tokens = visited_nodes + frontier
+        tokens = tokens[: G - 2]
+
+        gmap_nodes = np.full((G,), -1, np.int64)
+        gmap_src_step = np.full((G,), -1, np.int32)
+        gmap_src_slot = np.full((G,), -1, np.int32)
+        gmap_step_ids = np.zeros((G,), np.int32)
+        gmap_visited = np.zeros((G,), bool)
+        gmap_masks = np.zeros((G,), bool)
+        gmap_masks[0] = True
+        gmap_visited[1] = True
+        for g, n in enumerate(tokens, start=2):
+            gmap_nodes[g] = n
+            ss, sl = order[n]
+            # visited nodes use the fused pano of their *latest* visit
+            gmap_src_step[g] = ss
+            gmap_src_slot[g] = sl if n not in vis_set else -1
+            gmap_masks[g] = True
+            if n in vis_set:
+                gmap_visited[g] = True
+                gmap_step_ids[g] = visited.index(n) + 1
+
+        tok = np.array([n if n >= 0 else 0 for n in gmap_nodes])
+        pos7 = gmap_pos_features(
+            t.positions[si, cur], t.positions[si, tok],
+            t.dist[si, cur, tok], t.steps[si, cur, tok].astype(np.float32),
+            cur_h, cur_e, self.afs)
+        null7 = np.concatenate([get_angle_fts(np.zeros(1), np.zeros(1),
+                                              self.afs)[0], np.zeros(3)])
+        gmap_pos_fts = np.where((gmap_nodes >= 0)[:, None], pos7,
+                                null7[None, :]).astype(np.float32)
+        gmap_pos_fts[:2] = null7
+        pair = t.dist[si][np.ix_(tok, tok)] * \
+            ((gmap_nodes >= 0)[:, None] & (gmap_nodes >= 0)[None, :])
+        pair[:2, :] = 0
+        pair[:, :2] = 0
+
+        # vp inputs at the final step
+        C = t.max_candidates
+        cand_ids = t.cand_ids[si, cur]
+        cand_mask = t.cand_mask[si, cur]
+        start7 = gmap_pos_features(
+            t.positions[si, cur], t.positions[si, path[0]][None],
+            t.dist[si, cur, path[0]][None],
+            np.asarray([t.steps[si, cur, path[0]]], np.float32),
+            cur_h, cur_e, self.afs)[0]
+        cand7 = gmap_pos_features(
+            t.positions[si, cur], t.positions[si, np.maximum(cand_ids, 0)],
+            t.dist[si, cur, np.maximum(cand_ids, 0)],
+            t.steps[si, cur, np.maximum(cand_ids, 0)].astype(np.float32),
+            cur_h, cur_e, self.afs)
+        vp_pos_fts = np.zeros((P + 2, 14), np.float32)
+        vp_pos_fts[:, :7] = start7
+        vp_pos_fts[2 : 2 + C, 7:] = cand7 * cand_mask[:, None]
+        vp_masks = np.concatenate([np.ones(2, bool), pano_masks[end_step]])
+        vp_nav_masks = np.concatenate(
+            [[True, False], nav_types[end_step] == 1])
+        slot_of = {int(c): 2 + j for j, c in enumerate(cand_ids)
+                   if cand_mask[j]}
+        gmap_local_slot = np.full((G,), -1, np.int32)
+        for g in range(2, G):
+            if gmap_nodes[g] in slot_of:
+                gmap_local_slot[g] = slot_of[gmap_nodes[g]]
+        vp_cand_visited = np.zeros((P + 2,), np.float32)
+        for j, c in enumerate(cand_ids):
+            if cand_mask[j] and int(c) in vis_set:
+                vp_cand_visited[2 + j] = 1.0
+
+        # SAP labels (R2RTextPathData.get_act_labels, dataset.py:622-638)
+        if end_step == k - 1:
+            g_label, l_label = 0, 0
+        else:
+            nxt = path[end_step + 1]
+            g_label = int(np.argmax(gmap_nodes == nxt)) \
+                if (gmap_nodes == nxt).any() else -100
+            l_label = slot_of.get(int(nxt), -100)
+
+        txt = np.asarray(item["instr_encoding"], np.int32)[: self.L]
+        txt_ids = np.full((self.L,), 1, np.int32)
+        txt_masks = np.zeros((self.L,), bool)
+        txt_ids[: len(txt)] = txt
+        txt_masks[: len(txt)] = True
+
+        return {
+            "txt_ids": txt_ids, "txt_masks": txt_masks,
+            "traj_view_fts": view_fts, "traj_loc_fts": loc_fts,
+            "traj_nav_types": nav_types, "traj_pano_masks": pano_masks,
+            "traj_step_masks": traj_mask, "final_step": np.int32(end_step),
+            "gmap_src_step": gmap_src_step, "gmap_src_slot": gmap_src_slot,
+            "gmap_step_ids": gmap_step_ids, "gmap_pos_fts": gmap_pos_fts,
+            "gmap_masks": gmap_masks, "gmap_visited_masks": gmap_visited,
+            "gmap_pair_dists": pair.astype(np.float32),
+            "vp_pos_fts": vp_pos_fts, "vp_masks": vp_masks,
+            "vp_nav_masks": vp_nav_masks, "gmap_local_slot": gmap_local_slot,
+            "vp_cand_visited": vp_cand_visited,
+            "sap_global_label": np.int32(g_label),
+            "sap_local_label": np.int32(l_label),
+        }
+
+    # ----- batches per task -----
+
+    def collate(self, items, end_steps=None):
+        rows = [self.build_item(it, None if end_steps is None else end_steps[i])
+                for i, it in enumerate(items)]
+        return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+
+    def mlm_batch(self, items):
+        batch = self.collate(items, end_steps=[len(it["path_idx"]) - 1
+                                               for it in items])
+        ids, labels = mlm_mask(batch["txt_ids"], self.rng, self.mask_token,
+                               self.vocab_size)
+        ids[~batch["txt_masks"]] = 1
+        labels[~batch["txt_masks"]] = -100
+        batch["txt_ids"] = ids
+        batch["mlm_labels"] = labels
+        return batch
+
+    def mrc_batch(self, items, mask_prob=0.15, soft_targets=None):
+        """Mask 15% of the final step's views; soft targets are CLIP class
+        probabilities when available, uniform-random otherwise."""
+        batch = self.collate(items)
+        B = len(items)
+        view_mask = np.zeros((B, self.P), np.float32)
+        for b in range(B):
+            s = batch["final_step"][b]
+            valid = batch["traj_pano_masks"][b, s]
+            sel = (self.rng.random(self.P) < mask_prob) & valid
+            if not sel.any() and valid.any():
+                sel[self.rng.choice(np.flatnonzero(valid))] = True
+            view_mask[b] = sel
+            batch["traj_view_fts"][b, s][sel] = 0.0
+        if soft_targets is None:
+            raw = self.rng.random((B, self.P, self.prob_size)).astype(np.float32)
+            soft_targets = raw / raw.sum(-1, keepdims=True)
+        batch["mrc_view_mask"] = view_mask
+        batch["mrc_targets"] = soft_targets
+        return batch
+
+    def sap_batch(self, items):
+        return self.collate(items)
+
+    def cfp_batch(self, items):
+        return self.collate(items, end_steps=[len(it["path_idx"]) - 1
+                                              for it in items])

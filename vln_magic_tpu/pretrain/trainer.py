@@ -1,0 +1,214 @@
+"""Pretraining loop: task-sampled MLM/MRC/SAP/CFP steps with in-step
+teacher->student distillation.
+
+Reconstructs the training loop the reference release omitted
+(reference: pretrain_src/train_r2r_magic.py:398-410 jumps from setup straight
+to validation; SURVEY §0.1): sample task -> forward -> supervised loss +
+KD -> clip -> AdamW step, with the validators of train_r2r_magic.py:440-587.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import MagicConfig
+from ..agent.losses import kd_loss, mse_loss
+from .loader import ItemSampler, MetaLoader
+from .model import (GlocalTextPathCMTPretrain, cfp_loss, mlm_loss, mrc_loss,
+                    sap_loss)
+from .tasks import PathDataBuilder
+
+
+class PretrainTrainer:
+    def __init__(self, cfg: MagicConfig, world, image_prob_size: int = 1000,
+                 rng=None, builder_kwargs=None):
+        self.cfg = cfg
+        self.world = world
+        if rng is None:
+            rng = jax.random.PRNGKey(cfg.train.seed)
+        k_s, k_t, self.rng = jax.random.split(rng, 3)
+        self.model = GlocalTextPathCMTPretrain(cfg.model, image_prob_size)
+        self.kdl = cfg.distill.train_kdl and cfg.teacher_model is not None
+        self.teacher = None
+        self.t_params = None
+        bk = dict(angle_feat_size=cfg.model.angle_feat_size,
+                  image_prob_size=image_prob_size,
+                  vocab_size=cfg.model.vocab_size,
+                  max_txt=cfg.env.max_instr_len)
+        bk.update(builder_kwargs or {})
+        self.builder = PathDataBuilder(world, **bk)
+        dummy = self._dummy_batch()
+        self.params = self.model.init(k_s, dummy)
+        if self.kdl:
+            self.teacher = GlocalTextPathCMTPretrain(cfg.teacher_model,
+                                                     image_prob_size)
+            self.t_params = self.teacher.init(k_t, dummy)
+        self.opt = optax.chain(
+            optax.clip_by_global_norm(cfg.train.grad_clip),
+            optax.adamw(cfg.train.lr, weight_decay=cfg.train.weight_decay))
+        self.opt_state = self.opt.init(self.params)
+        self._steps = {}
+        self.iteration = 0
+
+    def _dummy_batch(self):
+        from ..env.synthetic import make_synthetic_instructions
+
+        items = make_synthetic_instructions(
+            self.world, 2, np.random.default_rng(0),
+            vocab_size=self.cfg.model.vocab_size, min_path=2, max_path=3)
+        b = self.builder.mrc_batch(items)
+        ids, labels = b["txt_ids"], np.full_like(b["txt_ids"], -100)
+        b["mlm_labels"] = labels
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    # ----- per-task losses -----
+
+    def _task_loss(self, task, params, batch, rngs, model=None):
+        model = model or self.model
+        det = rngs is None
+        if task == "mlm":
+            logits = model.apply(params, batch, deterministic=det, rngs=rngs,
+                                 method=type(model).mlm)
+            loss, valid = mlm_loss(logits, batch["mlm_labels"])
+            acc = (jnp.argmax(logits, -1) == jnp.maximum(batch["mlm_labels"], 0))
+            acc = (acc * valid).sum() / jnp.maximum(valid.sum(), 1)
+            return loss, logits, {"mlm_acc": acc}
+        if task == "mrc":
+            logits = model.apply(params, batch, deterministic=det, rngs=rngs,
+                                 method=type(model).mrc)
+            loss = mrc_loss(logits, batch["mrc_targets"],
+                            batch["mrc_view_mask"])
+            pred = jnp.argmax(logits, -1)
+            tgt = jnp.argmax(batch["mrc_targets"], -1)
+            m = batch["mrc_view_mask"]
+            acc = ((pred == tgt) * m).sum() / jnp.maximum(m.sum(), 1)
+            return loss, logits, {"mrc_acc": acc}
+        if task == "sap":
+            outs = model.apply(params, batch, deterministic=det, rngs=rngs,
+                               method=type(model).sap)
+            gl = sap_loss(outs["global_logits"], batch["sap_global_label"])
+            ll = sap_loss(outs["local_logits"], batch["sap_local_label"])
+            fl = sap_loss(outs["fused_logits"], batch["sap_global_label"])
+            accs = {}
+            for name, logit, label in (
+                    ("gacc", outs["global_logits"], batch["sap_global_label"]),
+                    ("lacc", outs["local_logits"], batch["sap_local_label"]),
+                    ("facc", outs["fused_logits"], batch["sap_global_label"])):
+                v = label != -100
+                a = (jnp.argmax(logit, -1) == jnp.maximum(label, 0)) * v
+                accs[f"sap_{name}"] = a.sum() / jnp.maximum(v.sum(), 1)
+            return gl + ll + fl, outs["fused_logits"], accs
+        if task == "cfp":
+            embeds = model.apply(params, batch, deterministic=det, rngs=rngs,
+                                 method=type(model).cfp)
+            loss = cfp_loss(embeds, self.cfg.model.cfp_temperature)
+            sim = embeds["txt"] @ embeds["fused"].T
+            acc = (jnp.argmax(sim, -1) ==
+                   jnp.arange(sim.shape[0])).mean()
+            return loss, embeds, {"cfp_acc": acc}
+        raise ValueError(task)
+
+    def _kd_penalty(self, task, s_out, t_out, params):
+        """In-step KD per task (pretrain kdl block, r2r_magic_pretrain.json;
+        loss family pretrain_src/optim/kd_loss.py = nav minus loss_type).
+        CFP embeddings are projected to teacher width via the student's
+        txt/vp/gmap projection heads (the checkpoint-contract heads
+        txt_emb_w / vp_txt_w / gmap_txt_w, agent_base.py:330)."""
+        d = self.cfg.distill
+        sg = jax.lax.stop_gradient
+        if task == "cfp":
+            if not self.cfg.model.kd_heads:
+                return jnp.zeros(())
+            proj = {"txt": "txt_emb_w", "vp": "vp_txt_w", "gmap": "gmap_txt_w"}
+            tot = 0.0
+            for k, head in proj.items():
+                s_p = self.model.apply(
+                    params, head, s_out[k],
+                    method=type(self.model).bert_kd_project)
+                tot = tot + mse_loss(s_p, sg(t_out[k]), loss_type="mean")
+            return tot
+        return kd_loss(s_out, sg(t_out), temperature=d.temperature,
+                       loss_type="mean")
+
+    def _make_step(self, task):
+        kdl = self.kdl
+        d = self.cfg.distill
+
+        def loss_fn(params, t_params, batch, rng):
+            rngs = {"dropout": rng}
+            loss, s_out, metrics = self._task_loss(task, params, batch, rngs)
+            if kdl:
+                t_loss, t_out, _ = self._task_loss(task, t_params, batch,
+                                                   None, model=self.teacher)
+                kd = self._kd_penalty(task, s_out, t_out, params)
+                metrics["kd"] = kd
+                loss = (1 - d.alpha) * loss + d.alpha * kd
+            metrics["loss"] = loss
+            return loss, metrics
+
+        def step(params, opt_state, t_params, batch, rng):
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, t_params, batch, rng)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def train_step(self, task, batch):
+        if task not in self._steps:
+            self._steps[task] = self._make_step(task)
+        self.rng, k = jax.random.split(self.rng)
+        batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
+        self.params, self.opt_state, metrics = self._steps[task](
+            self.params, self.opt_state, self.t_params, batch, k)
+        self.iteration += 1
+        return {k2: float(v) for k2, v in metrics.items()}
+
+    def fit(self, items, iters, task_ratios=None, batch_size=None,
+            callback=None):
+        bs = batch_size or self.cfg.train.batch_size
+        sampler = ItemSampler(items, bs, self.cfg.train.seed)
+        loader = MetaLoader({
+            "mlm": lambda: self.builder.mlm_batch(sampler.next_batch()),
+            "sap": lambda: self.builder.sap_batch(sampler.next_batch()),
+            "cfp": lambda: self.builder.cfp_batch(sampler.next_batch()),
+        }, ratios=task_ratios or {"mlm": 1, "sap": 1, "cfp": 1},
+            seed=self.cfg.train.seed)
+        history = []
+        for i, (task, batch) in zip(range(iters), loader):
+            m = self.train_step(task, self._fill(task, batch))
+            m["task"] = task
+            history.append(m)
+            if callback:
+                callback(i, task, m)
+        return history
+
+    def _fill(self, task, batch):
+        # every task shares one jit signature family; add the keys the
+        # jitted loss for that task expects
+        if task != "mlm" and "mlm_labels" not in batch:
+            batch["mlm_labels"] = np.full_like(batch["txt_ids"], -100)
+        return batch
+
+    # ----- validation (train_r2r_magic.py:440-587) -----
+
+    def validate(self, items, batch_size=None, num_batches=4):
+        bs = batch_size or self.cfg.train.batch_size
+        sampler = ItemSampler(items, bs, 1234)
+        out = {}
+        for task in ("mlm", "sap", "cfp"):
+            accs = []
+            for _ in range(num_batches):
+                batch = getattr(self.builder, f"{task}_batch")(
+                    sampler.next_batch())
+                batch = self._fill(task, batch)
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                _, _, metrics = self._task_loss(task, self.params, jb, None)
+                accs.append({k: float(v) for k, v in metrics.items()})
+            for k in accs[0]:
+                out[k] = float(np.mean([a[k] for a in accs]))
+        return out
