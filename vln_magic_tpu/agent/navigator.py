@@ -80,23 +80,26 @@ class Navigator:
     def _run_fn(self, feedback: str, train_ml, deterministic: bool):
         key = (feedback, train_ml, deterministic)
         if key not in self._jit_cache:
-            def fn(params, state, txt_ids, txt_masks, rng):
+            def fn(params, state, txt_ids, txt_masks, rng, zdicts):
                 return self.rollout.run(params, state, txt_ids, txt_masks,
-                                        feedback, rng, train_ml, deterministic)
+                                        feedback, rng, train_ml, deterministic,
+                                        zdicts=zdicts)
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
-    def run_items(self, items, feedback="argmax", rng=None):
+    def run_items(self, items, feedback="argmax", rng=None, zdicts=None):
         txt_ids, txt_masks = pad_instructions(items, self.cfg.env.max_instr_len)
         state = episodes_from_items(self.tables, self.world, items,
                                     self.rollout.model_dims)
         fn = self._run_fn(feedback, None, True)
         state, aux = fn(self.params, state, jnp.asarray(txt_ids),
                         jnp.asarray(txt_masks),
-                        rng if rng is not None else jax.random.PRNGKey(0))
+                        rng if rng is not None else jax.random.PRNGKey(0),
+                        zdicts or {})
         return state, aux
 
-    def evaluate(self, items, feedback="argmax", batch_size=None):
+    def evaluate(self, items, feedback="argmax", batch_size=None,
+                 zdicts=None):
         """Greedy decode + metrics over an item list (the reference's
         valid() loop, main_nav.py:561-667, without the process boundary)."""
         bs = batch_size or self.cfg.train.batch_size
@@ -106,7 +109,7 @@ class Navigator:
             n_real = len(chunk)
             if n_real < bs:   # pad the tail batch to keep shapes static
                 chunk = chunk + [chunk[-1]] * (bs - n_real)
-            state, aux = self.run_items(chunk, feedback)
+            state, aux = self.run_items(chunk, feedback, zdicts=zdicts)
             preds.extend(build_trajectories(
                 self.world, chunk, aux["actions"], aux["stop_node"],
                 aux["final_cur"])[:n_real])

@@ -497,15 +497,18 @@ class Rollout:
     # ------------------------------------------------------------------
 
     def _model_step(self, model, params, role, state, txt_embeds, txt_masks,
-                    rng, deterministic):
+                    rng, deterministic, zd=None):
         """One model's per-step pipeline: pano forward -> gmap update ->
-        input assembly -> navigation forward."""
+        input assembly -> navigation forward.  ``zd``: this role's
+        intervention dictionaries (img backdoor + frontdoor features)."""
+        zd = zd or {}
         pano = self.assemble_pano(state)
         rngs = None if deterministic else {"dropout": rng}
         pano_embeds, pano_fused, img_attns = model.apply(
             params, pano["view_img_fts"], pano["loc_fts"], pano["nav_types"],
-            pano["pano_masks"], deterministic=deterministic, rngs=rngs,
-            method=type(model).panorama)
+            pano["pano_masks"], z_img_feats=zd.get("z_img_feats"),
+            z_img_pzs=zd.get("z_img_pzs"), deterministic=deterministic,
+            rngs=rngs, method=type(model).panorama)
         state = self.update_node_embeds(state, role, pano_embeds, pano_fused,
                                         pano["cand_ids"], pano["cand_mask"])
         gmap = self.assemble_gmap(state, role)
@@ -516,7 +519,9 @@ class Rollout:
             gmap["gmap_masks"], gmap["gmap_visited_masks"],
             gmap["gmap_pair_dists"], vp["vp_img_embeds"], vp["vp_pos_fts"],
             vp["vp_masks"], vp["vp_nav_masks"], vp["gmap_local_slot"],
-            vp["vp_cand_visited"], deterministic=deterministic, rngs=rngs,
+            vp["vp_cand_visited"], front_vp_feats=zd.get("front_vp_feats"),
+            front_gmap_feats=zd.get("front_gmap_feats"),
+            deterministic=deterministic, rngs=rngs,
             method=type(model).navigation)
         outs.update({"pano_embeds": pano_embeds, "pano_fused_embeds": pano_fused,
                      "img_attns": img_attns})
@@ -546,7 +551,8 @@ class Rollout:
     def run(self, params, state: EpisodeBatch, txt_ids, txt_masks,
             feedback: str, rng=None, train_ml: float | None = None,
             deterministic: bool = True, teacher_params=None,
-            distill=None, ability_grads=None, use_teacher_policy=False):
+            distill=None, ability_grads=None, use_teacher_policy=False,
+            zdicts=None):
         """Full episode rollout under ``lax.scan``.
 
         Single-model greedy/IL rollout, or — when ``teacher_params`` and the
@@ -570,12 +576,40 @@ class Rollout:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         rngs = None if deterministic else {"dropout": rng}
+        # per-role intervention dictionaries, broadcast over the batch
+        # (get_front_variable / _language_variable z plumbing,
+        # agent.py:43-90, 767-791)
+        b = state.batch_size
+        zdicts = zdicts or {}
+
+        def zd_for(role):
+            z = zdicts.get(role) or {}
+            out = {}
+            for k, v in z.items():
+                if v is None:
+                    continue
+                if isinstance(v, dict):
+                    out[k] = {k2: jnp.broadcast_to(
+                        jnp.asarray(v2), (b,) + jnp.asarray(v2).shape)
+                        for k2, v2 in v.items()}
+                else:
+                    v = jnp.asarray(v)
+                    out[k] = jnp.broadcast_to(v, (b,) + v.shape)
+            return out
+
+        s_zd = zd_for("student")
         txt_embeds, txt_attns = model.apply(
-            params, txt_ids, txt_masks, deterministic=deterministic, rngs=rngs,
+            params, txt_ids, txt_masks,
+            instr_zdict=s_zd.get("instr_zdict"),
+            front_txt_feats=s_zd.get("front_txt_feats"),
+            deterministic=deterministic, rngs=rngs,
             method=type(model).language)
         if kdl:
+            t_zd = zd_for("teacher")
             t_txt_embeds, t_txt_attns = self.teacher_model.apply(
                 teacher_params, txt_ids, txt_masks,
+                instr_zdict=t_zd.get("instr_zdict"),
+                front_txt_feats=t_zd.get("front_txt_feats"),
                 deterministic=deterministic, rngs=rngs,
                 method=type(self.teacher_model).language)
 
@@ -604,7 +638,7 @@ class Rollout:
             rng, k_drop, k_act, k_rw = jax.random.split(rng, 4)
             state, gmap, outs = self._model_step(
                 model, params, "student", state, txt_embeds, txt_masks,
-                k_drop, deterministic)
+                k_drop, deterministic, s_zd)
             outs["txt_embeds"], outs["txt_attns"] = txt_embeds, txt_attns
             logits = outs["fused_logits"]
             probs = jax.nn.softmax(logits, axis=-1)
@@ -612,7 +646,7 @@ class Rollout:
             if kdl:
                 state, t_gmap, t_outs = self._model_step(
                     self.teacher_model, teacher_params, "teacher", state,
-                    t_txt_embeds, txt_masks, k_drop, deterministic)
+                    t_txt_embeds, txt_masks, k_drop, deterministic, t_zd)
                 t_outs["txt_embeds"] = t_txt_embeds
                 t_outs["txt_attns"] = t_txt_attns
                 t_logits = t_outs["fused_logits"]

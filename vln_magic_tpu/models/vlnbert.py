@@ -383,6 +383,24 @@ class DualScaleVLNBert(nn.Module):
             "cls_embeds": cls_embeds,
         }
 
+    # ----- mode: extract_cfp_features (agent.py:1516-1561) -----
+
+    def extract_cfp(self, txt_embeds, gmap_embeds, vp_embeds):
+        """Pooled trajectory features for the frontdoor dictionaries.  Uses
+        the txt/vp/gmap projection heads when present (the student contract
+        heads, agent_base.py:330); raw pooled [CLS]/[STOP] embeddings
+        otherwise (teacher-size models)."""
+        txt = txt_embeds[:, 0]
+        gmap = gmap_embeds[:, 0]
+        vp = vp_embeds[:, 0]
+        if self.cfg.kd_heads:
+            txt = self.txt_emb_w(txt)
+            gmap = self.gmap_txt_w(gmap)
+            vp = self.vp_txt_w(vp)
+        norm = lambda x: x / jnp.maximum(
+            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+        return {"txt": norm(txt), "gmap": norm(gmap), "vp": norm(vp)}
+
     # ----- KD projection heads (called from the loss, as the reference does
     #       from agent code: agent.py:568,600-606,643,661) -----
 
@@ -435,11 +453,34 @@ class DualScaleVLNBert(nn.Module):
 
 
 def dummy_step_batch(cfg: ModelConfig, batch_size=2, txt_len=16, pano_len=8,
-                     gmap_len=6):
-    """Minimal consistent input batch for ``model.init`` / compile checks."""
+                     gmap_len=6, n_z=4):
+    """Minimal consistent input batch for ``model.init`` / compile checks.
+    Includes intervention dictionaries when the config enables them so their
+    modules get initialized."""
     b, lt, p, g = batch_size, txt_len, pano_len, gmap_len
     f32, i32 = jnp.float32, jnp.int32
+    extra = {}
+    if cfg.do_back_txt:
+        extra["instr_zdict"] = {
+            "direction_features": jnp.zeros((b, n_z, cfg.hidden_size), f32),
+            "direction_pzs": jnp.ones((b, n_z, 1), f32) / n_z,
+            "landmark_features": jnp.zeros((b, n_z, cfg.hidden_size), f32),
+            "landmark_pzs": jnp.ones((b, n_z, 1), f32) / n_z,
+        }
+    if cfg.do_back_img:
+        extra["z_img_feats"] = jnp.zeros((b, n_z, cfg.image_feat_size), f32)
+        extra["z_img_pzs"] = jnp.ones((b, n_z, 1), f32) / n_z
+    # frontdoor features arrive at the CFP projection width (kd_target when
+    # the model has projection heads, its own hidden size otherwise)
+    front_dim = cfg.kd_target_size if cfg.kd_heads else cfg.hidden_size
+    if cfg.do_front_txt:
+        extra["front_txt_feats"] = jnp.zeros((b, n_z, front_dim), f32)
+    if cfg.do_front_img:
+        extra["front_vp_feats"] = jnp.zeros((b, n_z, front_dim), f32)
+    if cfg.do_front_his:
+        extra["front_gmap_feats"] = jnp.zeros((b, n_z, front_dim), f32)
     return {
+        **extra,
         "txt_ids": jnp.zeros((b, lt), i32),
         "txt_masks": jnp.ones((b, lt), bool),
         "view_img_fts": jnp.zeros((b, p, cfg.image_feat_size), f32),
