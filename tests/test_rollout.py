@@ -92,7 +92,7 @@ def test_imitation_loss_positive(setup):
     state = episodes_from_items(nav.tables, world, items[:4],
                                 nav.rollout.model_dims)
     state, aux = fn(nav.params, state, jnp.asarray(txt_ids),
-                    jnp.asarray(txt_masks), jax.random.PRNGKey(0))
+                    jnp.asarray(txt_masks), jax.random.PRNGKey(0), {})
     assert float(aux["ml_loss"]) > 0
 
 

@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+
+from vln_magic_tpu.agent.speaker import Speaker, SpeakerTokenizer
+from vln_magic_tpu.env import make_synthetic_world
+from vln_magic_tpu.env.synthetic import make_synthetic_instructions
+
+
+@pytest.fixture(scope="module")
+def setup():
+    world = make_synthetic_world(num_scans=1, nodes_per_scan=14, feat_dim=16,
+                                 seed=41)
+    items = make_synthetic_instructions(world, 8, np.random.default_rng(6),
+                                        min_path=2, max_path=4)
+    texts = ["walk forward to the kitchen", "turn left at the sofa",
+             "go past the table then stop", "enter the red room",
+             "climb the stairs up", "exit through the door",
+             "wait beside the lamp", "go straight ahead now"]
+    for it, t in zip(items, texts):
+        it["instruction"] = t
+    return world, items
+
+
+def test_tokenizer_roundtrip(setup):
+    world, items = setup
+    tok = SpeakerTokenizer.build(items)
+    assert tok.vocab_size <= 992
+    ids = tok.encode("walk forward to the kitchen")
+    assert ids[0] == tok.BOS and ids[-1] == tok.EOS
+    assert tok.decode(ids[1:]) == "walk forward to the kitchen"
+    assert tok.shrink(ids) == ids[1:-1]
+    # unknown words map to UNK
+    assert tok.encode("qwertyuiop")[1] == tok.UNK
+
+
+def test_speaker_training_reduces_loss(setup):
+    world, items = setup
+    tok = SpeakerTokenizer.build(items)
+    sp = Speaker(world, feat_dim=16, vocab_size=tok.vocab_size, max_steps=4,
+                 max_len=12, hidden=64, layers=1, heads=2, lr=3e-3)
+    first = sp.train_step(items, tok)
+    for _ in range(14):
+        last = sp.train_step(items, tok)
+    assert np.isfinite(first) and last < first
+
+
+def test_speaker_infer_and_back_translate(setup):
+    world, items = setup
+    tok = SpeakerTokenizer.build(items)
+    sp = Speaker(world, feat_dim=16, vocab_size=tok.vocab_size, max_steps=4,
+                 max_len=12, hidden=64, layers=1, heads=2)
+    tokens = sp.infer_batch(items[:4], tok)
+    assert tokens.shape == (4, 12)
+    assert (tokens[:, 0] == tok.BOS).all()
+    new_items, noise = sp.back_translate(items[:4], tok)
+    assert len(new_items) == 4
+    assert noise.shape == (16,)
+    for it in new_items:
+        assert isinstance(it["instruction"], str)
+    # originals untouched
+    assert items[0]["instruction"] == "walk forward to the kitchen"
+
+
+def test_speaker_overfits_tiny_corpus(setup):
+    """Teacher-forced training on one repeated target should memorize it."""
+    world, items = setup
+    tok = SpeakerTokenizer.build(items)
+    sp = Speaker(world, feat_dim=16, vocab_size=tok.vocab_size, max_steps=4,
+                 max_len=10, hidden=64, layers=1, heads=2, lr=5e-3)
+    batch = items[:2]
+    for _ in range(60):
+        loss = sp.train_step(batch, tok)
+    assert loss < 1.0, f"speaker failed to overfit (loss {loss})"

@@ -56,13 +56,18 @@ class Tables:
     cand_elevation: jnp.ndarray
     cand_mask: jnp.ndarray
     features: jnp.ndarray
+    # EnvEdit-style alternate feature table (reference env.py:39,78: a list
+    # of aug feature DBs cycled per episode); None when unused
+    aug_features: jnp.ndarray | None = None
 
     @classmethod
-    def from_world(cls, t: WorldTables) -> "Tables":
+    def from_world(cls, t: WorldTables, aug_features=None) -> "Tables":
         return cls(**{f: jnp.asarray(getattr(t, f)) for f in (
             "node_mask", "positions", "dist", "steps", "next_hop", "cand_ids",
             "cand_view", "cand_heading", "cand_elevation", "cand_mask",
-            "features")})
+            "features")},
+            aug_features=None if aug_features is None
+            else jnp.asarray(aug_features))
 
 
 @struct.dataclass
@@ -87,6 +92,7 @@ class EpisodeBatch:
     embed_sum: dict            # role -> [B, N+1, D]
     embed_cnt: dict            # role -> [B, N+1]
     mem: dict                  # role -> [B, D] ([MEM] recurrence, cls_embeds)
+    aug: jnp.ndarray           # [B] bool — use the aug feature table
     ended: jnp.ndarray         # [B] bool
 
     @property
@@ -95,7 +101,7 @@ class EpisodeBatch:
 
 
 def init_episodes(tables: Tables, scan_idx, start, heading, gt_path, gt_len,
-                  model_dims: dict[str, int]) -> EpisodeBatch:
+                  model_dims: dict[str, int], aug=None) -> EpisodeBatch:
     """Start episodes: agent at gt_path[0] with the item's heading, elevation 0
     (reference env.py:394-405), start node + its candidates observed."""
     scan_idx = jnp.asarray(scan_idx, jnp.int32)
@@ -121,6 +127,7 @@ def init_episodes(tables: Tables, scan_idx, start, heading, gt_path, gt_len,
         embed_cnt={r: jnp.zeros((b, n1), jnp.float32)
                    for r in model_dims},
         mem={r: jnp.zeros((b, d), jnp.float32) for r, d in model_dims.items()},
+        aug=jnp.zeros((b,), bool) if aug is None else jnp.asarray(aug, bool),
         ended=jnp.zeros((b,), bool),
     )
     # the start node is immediately "visited" (GraphMap.update_graph marks the
@@ -193,6 +200,9 @@ class Rollout:
         cand_mask = t.cand_mask[scan, cur]
         cand_view = t.cand_view[scan, cur]
         feats36 = t.features[scan, cur].astype(jnp.float32)  # [B, 36, D]
+        if t.aug_features is not None:
+            aug36 = t.aug_features[scan, cur].astype(jnp.float32)
+            feats36 = jnp.where(state.aug[:, None, None], aug36, feats36)
 
         cand_feat = jnp.take_along_axis(
             feats36, cand_view[..., None], axis=1)           # [B, C, D]

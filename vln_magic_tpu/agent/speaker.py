@@ -1,0 +1,218 @@
+"""Speaker driver: vocabulary, path-feature assembly, teacher-forced
+training, and back-translation inference.
+
+Counterpart of the reference's speaker stack (reference: map_nav_src/r2r/
+transpeaker.py:14-358 Speaker driver; speaker_utils.py:106-258 legacy
+tokenizer + vocab build): path features use the 128-d speaker angle features
+(parser.py:117), training is teacher-forced CE over gt instructions, and
+``infer_batch`` greedily decodes new instructions for augmented paths with
+feature-dropout noise (drop_env, agent.py:737-752).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..env.geometry import get_angle_fts
+from ..models.speaker import TransSpeaker, greedy_decode
+
+SPEAKER_ANGLE_SIZE = 128
+
+
+class SpeakerTokenizer:
+    """Word-level vocabulary built from training instructions
+    (speaker_utils.py:216-244 build/read vocab)."""
+
+    PAD, BOS, EOS, UNK = 0, 1, 2, 3
+
+    def __init__(self, vocab: list[str]):
+        self.words = ["<PAD>", "<BOS>", "<EOS>", "<UNK>"] + vocab
+        self.index = {w: i for i, w in enumerate(self.words)}
+
+    @classmethod
+    def build(cls, items, min_count: int = 1, max_size: int = 988):
+        from collections import Counter
+
+        c = Counter()
+        for it in items:
+            c.update(w.lower().strip(".,!?") for w in
+                     it["instruction"].split())
+        vocab = [w for w, n in c.most_common(max_size) if n >= min_count and w]
+        return cls(vocab)
+
+    @property
+    def vocab_size(self):
+        return len(self.words)
+
+    def encode(self, text: str, max_len: int = 80):
+        ids = [self.index.get(w.lower().strip(".,!?"), self.UNK)
+               for w in text.split()][: max_len - 2]
+        return [self.BOS] + ids + [self.EOS]
+
+    def decode(self, ids) -> str:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i == self.EOS:
+                break
+            if i > self.UNK:
+                out.append(self.words[i])
+        return " ".join(out)
+
+    def shrink(self, ids):
+        """Strip BOS/EOS/PAD (speaker_utils Tokenizer.shrink semantics)."""
+        out = []
+        for i in ids:
+            i = int(i)
+            if i == self.EOS:
+                break
+            if i not in (self.PAD, self.BOS):
+                out.append(i)
+        return out
+
+
+class Speaker:
+    """Owns the TransSpeaker, its optimizer, and path-feature assembly."""
+
+    def __init__(self, world, feat_dim: int, vocab_size: int,
+                 max_steps: int = 10, max_len: int = 40, lr: float = 1e-4,
+                 hidden: int = 512, layers: int = 3, heads: int = 4,
+                 rng=None, feat_dropout: float = 0.3):
+        self.world = world
+        self.t = world.tables
+        self.S = max_steps
+        self.L = max_len
+        self.feat_dim = feat_dim
+        self.feat_dropout = feat_dropout
+        self.model = TransSpeaker(vocab_size=vocab_size, hidden_size=hidden,
+                                  num_layers=layers, num_heads=heads)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        k, self.rng = jax.random.split(rng)
+        dc = feat_dim + SPEAKER_ANGLE_SIZE
+        self.params = self.model.init(
+            k, jnp.zeros((1, self.S, dc)), jnp.zeros((1, self.S, 36, dc)),
+            jnp.ones((1, self.S), bool), jnp.zeros((1, 4), jnp.int32))
+        self.opt = optax.chain(optax.clip_by_global_norm(40.0),
+                               optax.adamw(lr))
+        self.opt_state = self.opt.init(self.params)
+        self._train_step = None
+        self._infer = None
+
+    # ----- feature assembly (from_shortest_path, transpeaker.py:159) -----
+
+    def path_features(self, items, noise=None):
+        t = self.t
+        B = len(items)
+        dc = self.feat_dim + SPEAKER_ANGLE_SIZE
+        cand = np.zeros((B, self.S, dc), np.float32)
+        pano = np.zeros((B, self.S, 36, dc), np.float32)
+        masks = np.zeros((B, self.S), bool)
+        for b, it in enumerate(items):
+            si = it["scan_idx"]
+            path = list(np.asarray(it["path_idx"]))[: self.S + 1]
+            heading = 0.0
+            for s, (cur, nxt) in enumerate(zip(path[:-1], path[1:])):
+                cands = t.cand_ids[si, cur]
+                j = int(np.argmax(cands == nxt))
+                view = int(t.cand_view[si, cur, j])
+                ch = float(t.cand_heading[si, cur, j])
+                ce = float(t.cand_elevation[si, cur, j])
+                feats36 = np.asarray(t.features[si, cur], np.float32)
+                if noise is not None:
+                    feats36 = feats36 * noise
+                ang = get_angle_fts(np.array([ch - heading]), np.array([ce]),
+                                    SPEAKER_ANGLE_SIZE)[0]
+                cand[b, s] = np.concatenate([feats36[view], ang])
+                base_h = (view % 12) * np.pi / 6
+                from ..env.geometry import ALL_VIEW_ANGLES
+                pano_ang = get_angle_fts(ALL_VIEW_ANGLES[:, 0] - base_h,
+                                         ALL_VIEW_ANGLES[:, 1],
+                                         SPEAKER_ANGLE_SIZE)
+                pano[b, s] = np.concatenate([feats36, pano_ang], 1)
+                masks[b, s] = True
+                heading = base_h
+        return cand, pano, masks
+
+    def drop_env_noise(self, rng: np.random.Generator):
+        """Feature-dropout mask for back-translation noise
+        (drop_env, agent.py:738)."""
+        keep = (rng.random(self.feat_dim) >= self.feat_dropout)
+        return (keep / (1.0 - self.feat_dropout)).astype(np.float32)
+
+    # ----- training (teacher-forced CE, transpeaker.py:207) -----
+
+    def _make_train_step(self):
+        def loss_fn(params, cand, pano, masks, tokens, tok_masks, rng):
+            logits = self.model.apply(
+                params, cand, pano, masks, tokens[:, :-1],
+                deterministic=False, rngs={"dropout": rng})
+            tgt = tokens[:, 1:]
+            valid = tok_masks[:, 1:]
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
+            return (ce * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+        def step(params, opt_state, cand, pano, masks, tokens, tok_masks, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, cand, pano, masks, tokens, tok_masks, rng)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def encode_targets(self, items, tok: SpeakerTokenizer):
+        B = len(items)
+        tokens = np.full((B, self.L), tok.EOS, np.int32)
+        masks = np.zeros((B, self.L), bool)
+        for b, it in enumerate(items):
+            ids = tok.encode(it["instruction"], self.L)
+            tokens[b, : len(ids)] = ids
+            masks[b, : len(ids)] = True
+        return tokens, masks
+
+    def train_step(self, items, tok: SpeakerTokenizer):
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        cand, pano, masks = self.path_features(items)
+        tokens, tok_masks = self.encode_targets(items, tok)
+        self.rng, k = jax.random.split(self.rng)
+        self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state, jnp.asarray(cand), jnp.asarray(pano),
+            jnp.asarray(masks), jnp.asarray(tokens), jnp.asarray(tok_masks), k)
+        return float(loss)
+
+    # ----- inference / back-translation -----
+
+    def infer_batch(self, items, tok: SpeakerTokenizer, noise=None,
+                    sample=False, rng=None):
+        if self._infer is None:
+            self._infer = jax.jit(
+                lambda p, c, pn, m, r: greedy_decode(
+                    self.model, p, c, pn, m, self.L, tok.BOS, tok.EOS, r,
+                    sample),
+                static_argnames=())
+        cand, pano, masks = self.path_features(items, noise=noise)
+        if rng is None:
+            self.rng, rng = jax.random.split(self.rng)
+        tokens = self._infer(self.params, jnp.asarray(cand), jnp.asarray(pano),
+                             jnp.asarray(masks), rng)
+        return np.asarray(tokens)
+
+    def back_translate(self, items, tok: SpeakerTokenizer, rng=None):
+        """Replace instructions with speaker generations under feature
+        dropout noise (the rollout's self-train path, agent.py:737-752).
+        Returns new item dicts with regenerated instruction text."""
+        nprng = np.random.default_rng(0 if rng is None else rng)
+        noise = self.drop_env_noise(nprng)
+        tokens = self.infer_batch(items, tok, noise=noise)
+        out = []
+        for it, row in zip(items, tokens):
+            new = dict(it)
+            new["instruction"] = tok.decode(row[1:])
+            out.append(new)
+        return out, noise

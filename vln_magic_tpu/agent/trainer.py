@@ -197,20 +197,43 @@ class Trainer:
         self.iteration += 1
         return {k: float(v) for k, v in metrics.items()}
 
-    def fit(self, items, iters, log_every=100, rng=None, callback=None):
-        """Host loop: shuffle + minibatch + step (main_nav.py:322-455)."""
+    def fit(self, items, iters, log_every=100, rng=None, callback=None,
+            aug_items=None, speaker=None, speaker_tok=None, aug_times=1):
+        """Host loop: shuffle + minibatch + step (main_nav.py:322-455).
+
+        With ``aug_items``, alternates ground-truth and augmented batches
+        (aug_times aug per train batch); a ``speaker`` regenerates the aug
+        instructions via noisy back-translation (the self-train path,
+        agent.py:737-752, main_nav aug alternation)."""
         r = np.random.default_rng(self.cfg.train.seed)
         bs = self.cfg.train.batch_size
-        order = r.permutation(len(items))
-        pos = 0
+
+        def cycler(data):
+            order, pos = r.permutation(len(data)), 0
+            while True:
+                if pos + bs > len(order):
+                    order, pos = r.permutation(len(data)), 0
+                yield [data[i] for i in order[pos : pos + bs]]
+                pos += bs
+
+        train_c = cycler(items)
+        aug_c = cycler(aug_items) if aug_items else None
         history = []
         for it in range(iters):
-            if pos + bs > len(order):
-                order = r.permutation(len(items))
-                pos = 0
-            batch = [items[i] for i in order[pos : pos + bs]]
-            pos += bs
+            use_aug = aug_c is not None and aug_times and \
+                (it % (aug_times + 1)) != 0
+            batch = next(aug_c) if use_aug else next(train_c)
+            if use_aug and speaker is not None and speaker_tok is not None:
+                batch, _ = speaker.back_translate(batch, speaker_tok,
+                                                  rng=self.cfg.train.seed + it)
+                from ..data.tokenizer import HashTokenizer
+
+                tok = HashTokenizer(self.cfg.model.vocab_size)
+                for b in batch:
+                    b["instr_encoding"] = np.asarray(
+                        tok.encode(b["instruction"]), np.int32)
             m = self.train_step(batch)
+            m["aug"] = float(use_aug)
             history.append(m)
             if callback and (it + 1) % log_every == 0:
                 callback(it + 1, m)
