@@ -203,6 +203,16 @@ class Speaker:
                              jnp.asarray(masks), rng)
         return np.asarray(tokens)
 
+    def evaluate(self, items, tok: SpeakerTokenizer):
+        """Corpus BLEU-4 of greedy generations against gt instructions
+        (the role of the reference's libbleu-backed scorer)."""
+        from ..native import bleu_score
+
+        tokens = self.infer_batch(items, tok)
+        hyps = [tok.shrink(row[1:]) for row in tokens]
+        refs = [tok.encode(it["instruction"], self.L)[1:-1] for it in items]
+        return bleu_score(hyps, refs)
+
     def back_translate(self, items, tok: SpeakerTokenizer, rng=None):
         """Replace instructions with speaker generations under feature
         dropout noise (the rollout's self-train path, agent.py:737-752).
