@@ -64,7 +64,7 @@ def main():
         ),
         env=EnvConfig(max_action_len=t_steps, max_gmap_len=max_gmap,
                       max_instr_len=txt_len),
-        train=TrainConfig(batch_size=batch),
+        train=TrainConfig(batch_size=batch, compute_dtype=args.dtype),
     )
     world = make_synthetic_world(num_scans=scans, nodes_per_scan=nodes,
                                  feat_dim=feat, seed=0)
@@ -83,13 +83,14 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # compile + warmup
-    out = fn(nav.params, state0, jnp.asarray(txt_ids), jnp.asarray(txt_masks), key)
+    out = fn(nav.params, state0, jnp.asarray(txt_ids), jnp.asarray(txt_masks),
+             key, {})
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(nav.params, state0, jnp.asarray(txt_ids),
-                 jnp.asarray(txt_masks), key)
+                 jnp.asarray(txt_masks), key, {})
     jax.block_until_ready(out)
     wall = time.perf_counter() - t0
 

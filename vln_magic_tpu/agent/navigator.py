@@ -59,7 +59,8 @@ class Navigator:
         self.cfg = cfg
         self.world = world
         self.tables = Tables.from_world(world.tables)
-        self.model = DualScaleVLNBert(cfg.model)
+        self.model = DualScaleVLNBert(
+            cfg.model, dtype=jnp.dtype(cfg.train.compute_dtype))
         self.rollout = Rollout(self.tables, cfg.env, self.model)
         if params is None:
             if rng is None:
@@ -77,21 +78,23 @@ class Navigator:
                                  gmap_len=self.cfg.env.max_gmap_len)
         return self.model.init(rng, batch)
 
-    def _run_fn(self, feedback: str, train_ml, deterministic: bool):
-        key = (feedback, train_ml, deterministic)
+    def _run_fn(self, feedback: str, train_ml, deterministic: bool,
+                ensemble_n: int = 1):
+        key = (feedback, train_ml, deterministic, ensemble_n)
         if key not in self._jit_cache:
             def fn(params, state, txt_ids, txt_masks, rng, zdicts):
                 return self.rollout.run(params, state, txt_ids, txt_masks,
                                         feedback, rng, train_ml, deterministic,
-                                        zdicts=zdicts)
+                                        zdicts=zdicts, ensemble_n=ensemble_n)
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
-    def run_items(self, items, feedback="argmax", rng=None, zdicts=None):
+    def run_items(self, items, feedback="argmax", rng=None, zdicts=None,
+                  ensemble_n=1):
         txt_ids, txt_masks = pad_instructions(items, self.cfg.env.max_instr_len)
         state = episodes_from_items(self.tables, self.world, items,
                                     self.rollout.model_dims)
-        fn = self._run_fn(feedback, None, True)
+        fn = self._run_fn(feedback, None, True, ensemble_n)
         state, aux = fn(self.params, state, jnp.asarray(txt_ids),
                         jnp.asarray(txt_masks),
                         rng if rng is not None else jax.random.PRNGKey(0),
@@ -99,7 +102,7 @@ class Navigator:
         return state, aux
 
     def evaluate(self, items, feedback="argmax", batch_size=None,
-                 zdicts=None):
+                 zdicts=None, ensemble_n=1):
         """Greedy decode + metrics over an item list (the reference's
         valid() loop, main_nav.py:561-667, without the process boundary)."""
         bs = batch_size or self.cfg.train.batch_size
@@ -109,7 +112,8 @@ class Navigator:
             n_real = len(chunk)
             if n_real < bs:   # pad the tail batch to keep shapes static
                 chunk = chunk + [chunk[-1]] * (bs - n_real)
-            state, aux = self.run_items(chunk, feedback, zdicts=zdicts)
+            state, aux = self.run_items(chunk, feedback, zdicts=zdicts,
+                                        ensemble_n=ensemble_n)
             preds.extend(build_trajectories(
                 self.world, chunk, aux["actions"], aux["stop_node"],
                 aux["final_cur"])[:n_real])

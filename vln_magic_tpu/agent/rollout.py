@@ -93,11 +93,16 @@ class EpisodeBatch:
     embed_cnt: dict            # role -> [B, N+1]
     mem: dict                  # role -> [B, D] ([MEM] recurrence, cls_embeds)
     aug: jnp.ndarray           # [B] bool — use the aug feature table
+    traj_nodes: jnp.ndarray    # [B, TRAJ+1] i32 expanded trajectory (-1 pad)
+    traj_len: jnp.ndarray     # [B] i32
     ended: jnp.ndarray         # [B] bool
 
     @property
     def batch_size(self):
         return self.scan.shape[0]
+
+
+MAX_TRAJ = 96   # expanded-trajectory buffer (bounded by steps x jump hops)
 
 
 def init_episodes(tables: Tables, scan_idx, start, heading, gt_path, gt_len,
@@ -128,6 +133,9 @@ def init_episodes(tables: Tables, scan_idx, start, heading, gt_path, gt_len,
                    for r in model_dims},
         mem={r: jnp.zeros((b, d), jnp.float32) for r, d in model_dims.items()},
         aug=jnp.zeros((b,), bool) if aug is None else jnp.asarray(aug, bool),
+        traj_nodes=jnp.full((b, MAX_TRAJ + 1), -1, jnp.int32)
+            .at[:, 0].set(start),
+        traj_len=jnp.ones((b,), jnp.int32),
         ended=jnp.zeros((b,), bool),
     )
     # the start node is immediately "visited" (GraphMap.update_graph marks the
@@ -413,21 +421,95 @@ class Rollout:
             idx = 2 + eq.argmax(axis=1).astype(jnp.int32)
             a = jnp.where(stop | ~eq.any(axis=1), 0, idx)
         else:
-            # expert: min over unvisited gmap nodes of
-            # dist(cur -> node) + dist(node -> goal)  (spl policy,
-            # agent.py:364-366)
-            dists = self.t.dist[state.scan]
-            d_cur = jnp.take_along_axis(dists[jnp.arange(b), state.cur],
-                                        token_node, 1)
-            d_goal = dists[jnp.arange(b)[:, None], token_node, state.goal[:, None]]
-            visited_tok = jnp.take_along_axis(state.visited[:, :dists.shape[1]],
-                                              token_node, 1)
-            cost = jnp.where(gmap["token_valid"] & ~visited_tok,
-                             d_cur + d_goal, jnp.inf)
+            visited_tok = jnp.take_along_axis(
+                state.visited[:, : self.t.node_mask.shape[1]], token_node, 1)
+            eligible = gmap["token_valid"] & ~visited_tok
+            if env.expert_policy == "ndtw":
+                # expert: max nDTW of (trajectory-so-far + shortest path to
+                # the candidate) against the gt path (agent.py:357-363)
+                ndtw = self._ndtw_scores(state, gmap)
+                cost = jnp.where(eligible, -ndtw, jnp.inf)
+            else:
+                # spl expert: min dist(cur -> node) + dist(node -> goal)
+                # (agent.py:364-366)
+                dists = self.t.dist[state.scan]
+                d_cur = jnp.take_along_axis(dists[jnp.arange(b), state.cur],
+                                            token_node, 1)
+                d_goal = dists[jnp.arange(b)[:, None], token_node,
+                               state.goal[:, None]]
+                cost = jnp.where(eligible, d_cur + d_goal, jnp.inf)
             best = 2 + jnp.argmin(cost, axis=1).astype(jnp.int32)
             stop = state.cur == state.goal
             a = jnp.where(stop, 0, best)
         return jnp.where(state.ended, env.ignore_id, a)
+
+    def _ndtw_scores(self, state: EpisodeBatch, gmap, k_ext: int = 16,
+                     lp: int = 48):
+        """Vectorized on-device nDTW of each candidate's hypothetical
+        trajectory (executed trajectory + shortest-path extension to the
+        candidate) against the gt path — the reference computes this per
+        sample per candidate on the host with numpy (eval_utils.py:6-26 via
+        agent.py:357-363)."""
+        t = self.t
+        b = state.batch_size
+        bi = jnp.arange(b)
+        token_node = gmap["token_node"]
+        g = token_node.shape[1]
+        nh = t.next_hop[state.scan]
+
+        # shortest-path extension cur -> candidate (bounded walk)
+        p = jnp.broadcast_to(state.cur[:, None], (b, g))
+        ext, ext_valid = [], []
+        for _ in range(k_ext):
+            nxt = nh[bi[:, None], p, token_node]
+            step_valid = (p != token_node) & (nxt >= 0)
+            ext.append(jnp.where(step_valid, nxt, 0))
+            ext_valid.append(step_valid)
+            p = jnp.where(step_valid, nxt, p)
+        ext = jnp.stack(ext, 2)
+        ext_valid = jnp.stack(ext_valid, 2)
+
+        traj = jnp.maximum(state.traj_nodes[:, :lp], 0)
+        traj_valid = (jnp.arange(lp)[None, :]
+                      < jnp.minimum(state.traj_len, lp)[:, None]) \
+            & (state.traj_nodes[:, :lp] >= 0)
+        pred = jnp.concatenate(
+            [jnp.broadcast_to(traj[:, None, :], (b, g, lp)), ext], axis=2)
+        pred_valid = jnp.concatenate(
+            [jnp.broadcast_to(traj_valid[:, None, :], (b, g, lp)), ext_valid],
+            axis=2)
+
+        gt = jnp.maximum(state.gt_path, 0)
+        tg = gt.shape[1]
+        dist = t.dist[state.scan]
+        cost = dist[bi[:, None, None, None], pred[..., None],
+                    gt[:, None, None, :]]                  # [B, G, L, TG]
+
+        big = jnp.float32(1e9)
+        row = jnp.full((b, g, tg + 1), big).at[..., 0].set(0.0)
+
+        def outer(row, i):
+            ci = cost[:, :, i, :]
+            vi = pred_valid[:, :, i]
+
+            def inner(nr_prev, j):
+                val = ci[:, :, j - 1] + jnp.minimum(
+                    jnp.minimum(row[..., j], nr_prev), row[..., j - 1])
+                return val, val
+
+            _, vals = jax.lax.scan(inner, jnp.full((b, g), big),
+                                   jnp.arange(1, tg + 1))
+            new_row = jnp.concatenate(
+                [jnp.full((b, g, 1), big),
+                 jnp.moveaxis(vals, 0, -1)], axis=-1)
+            # invalid prediction positions carry the previous row forward
+            return jnp.where(vi[..., None], new_row, row), None
+
+        row, _ = jax.lax.scan(outer, row, jnp.arange(pred.shape[2]))
+        dtw = jnp.take_along_axis(
+            row, state.gt_len[:, None, None] * jnp.ones((1, g, 1), jnp.int32),
+            axis=-1)[..., 0]
+        return jnp.exp(-dtw / (3.0 * state.gt_len[:, None]))
 
     # ------------------------------------------------------------------
     # transition (make_equiv_action, agent.py:375-404)
@@ -487,6 +569,22 @@ class Rollout:
         new_elevation = jnp.where(
             moving & has_edge, (view // 12 - 1) * (jnp.pi / 6), state.elevation)
 
+        # record the expanded path cur -> target in the trajectory buffer
+        # (reference traj segments, agent.py:384: path excluding cur)
+        def rec(_, carry):
+            p, nodes, ln = carry
+            nxt = nh[bi, p, target]
+            valid = moving & (p != target) & (nxt >= 0)
+            wi = jnp.where(valid, jnp.minimum(ln, MAX_TRAJ),
+                           jnp.full_like(ln, MAX_TRAJ))
+            nodes = nodes.at[bi, wi].set(
+                jnp.where(valid, nxt, nodes[bi, wi]))
+            return (jnp.where(valid, nxt, p), nodes,
+                    ln + valid.astype(jnp.int32))
+
+        _, traj_nodes, traj_len = jax.lax.fori_loop(
+            0, 32, rec, (state.cur, state.traj_nodes, state.traj_len))
+
         new_cur = jnp.where(moving, target, state.cur)
         visited = state.visited.at[bi, jnp.where(moving, new_cur, trash)].set(True)
         # step id assigned when the node becomes current (agent.py:873-875 sets
@@ -497,6 +595,7 @@ class Rollout:
         state = state.replace(
             cur=new_cur, heading=new_heading, elevation=new_elevation,
             visited=visited, step_ids=step_ids, stop_scores=stop_scores,
+            traj_nodes=traj_nodes, traj_len=traj_len,
             ended=state.ended | just_ended)
         state = _observe(state, self.t)
         chosen = jnp.where(moving, target, -1)
@@ -506,36 +605,56 @@ class Rollout:
     # the scan driver (rollout, agent.py:722-1158)
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _apply_mc(model, params, rng, deterministic, ensemble_n, method,
+                  *args, **kwargs):
+        """Apply a model mode; with ensemble_n > 1 run it under MC dropout
+        and average the outputs (the missing ``ensemble_rollout``
+        reconstruction, agent_base.py:197-207, --ensemble_n parser.py:161)."""
+        if ensemble_n <= 1:
+            rngs = None if deterministic else {"dropout": rng}
+            return model.apply(params, *args, deterministic=deterministic,
+                               rngs=rngs, method=method, **kwargs)
+        keys = jax.random.split(rng, ensemble_n)
+        outs = jax.vmap(lambda k: model.apply(
+            params, *args, deterministic=False, rngs={"dropout": k},
+            method=method, **kwargs))(keys)
+        return jax.tree_util.tree_map(lambda x: x.mean(0), outs)
+
     def _model_step(self, model, params, role, state, txt_embeds, txt_masks,
-                    rng, deterministic, zd=None):
+                    rng, deterministic, zd=None, ensemble_n=1):
         """One model's per-step pipeline: pano forward -> gmap update ->
         input assembly -> navigation forward.  ``zd``: this role's
         intervention dictionaries (img backdoor + frontdoor features)."""
         zd = zd or {}
         pano = self.assemble_pano(state)
         rngs = None if deterministic else {"dropout": rng}
-        pano_embeds, pano_fused, img_attns = model.apply(
-            params, pano["view_img_fts"], pano["loc_fts"], pano["nav_types"],
+        pano_embeds, pano_fused, img_attns = self._apply_mc(
+            model, params, rng, deterministic, ensemble_n,
+            type(model).panorama,
+            pano["view_img_fts"], pano["loc_fts"], pano["nav_types"],
             pano["pano_masks"], z_img_feats=zd.get("z_img_feats"),
-            z_img_pzs=zd.get("z_img_pzs"), deterministic=deterministic,
-            rngs=rngs, method=type(model).panorama)
-        state = self.update_node_embeds(state, role, pano_embeds, pano_fused,
-                                        pano["cand_ids"], pano["cand_mask"])
+            z_img_pzs=zd.get("z_img_pzs"))
+        # episode state stays f32 regardless of the model compute dtype
+        state = self.update_node_embeds(
+            state, role, pano_embeds.astype(jnp.float32),
+            pano_fused.astype(jnp.float32), pano["cand_ids"],
+            pano["cand_mask"])
         gmap = self.assemble_gmap(state, role)
         vp = self.assemble_vp(state, role, pano, pano_embeds, gmap)
-        outs = model.apply(
-            params, txt_embeds, txt_masks,
+        outs = self._apply_mc(
+            model, params, rng, deterministic, ensemble_n,
+            type(model).navigation, txt_embeds, txt_masks,
             gmap["gmap_img_embeds"], gmap["gmap_step_ids"], gmap["gmap_pos_fts"],
             gmap["gmap_masks"], gmap["gmap_visited_masks"],
             gmap["gmap_pair_dists"], vp["vp_img_embeds"], vp["vp_pos_fts"],
             vp["vp_masks"], vp["vp_nav_masks"], vp["gmap_local_slot"],
             vp["vp_cand_visited"], front_vp_feats=zd.get("front_vp_feats"),
-            front_gmap_feats=zd.get("front_gmap_feats"),
-            deterministic=deterministic, rngs=rngs,
-            method=type(model).navigation)
+            front_gmap_feats=zd.get("front_gmap_feats"))
         outs.update({"pano_embeds": pano_embeds, "pano_fused_embeds": pano_fused,
                      "img_attns": img_attns})
-        state = state.replace(mem={**state.mem, role: outs["cls_embeds"]})
+        state = state.replace(mem={
+            **state.mem, role: outs["cls_embeds"].astype(jnp.float32)})
         return state, gmap, outs
 
     def select_action(self, logits, feedback, rng, nav_targets, gmap, state):
@@ -562,7 +681,7 @@ class Rollout:
             feedback: str, rng=None, train_ml: float | None = None,
             deterministic: bool = True, teacher_params=None,
             distill=None, ability_grads=None, use_teacher_policy=False,
-            zdicts=None):
+            zdicts=None, ensemble_n: int = 1):
         """Full episode rollout under ``lax.scan``.
 
         Single-model greedy/IL rollout, or — when ``teacher_params`` and the
@@ -648,7 +767,7 @@ class Rollout:
             rng, k_drop, k_act, k_rw = jax.random.split(rng, 4)
             state, gmap, outs = self._model_step(
                 model, params, "student", state, txt_embeds, txt_masks,
-                k_drop, deterministic, s_zd)
+                k_drop, deterministic, s_zd, ensemble_n)
             outs["txt_embeds"], outs["txt_attns"] = txt_embeds, txt_attns
             logits = outs["fused_logits"]
             probs = jax.nn.softmax(logits, axis=-1)

@@ -72,11 +72,13 @@ class Trainer:
             rng = jax.random.PRNGKey(cfg.train.seed)
         k_s, k_t, self.rng = jax.random.split(rng, 3)
 
-        self.model = DualScaleVLNBert(cfg.model)
+        dtype = jnp.dtype(cfg.train.compute_dtype)
+        self.model = DualScaleVLNBert(cfg.model, dtype=dtype)
         self.teacher_model = None
         self.kdl = cfg.distill.train_kdl and cfg.teacher_model is not None
         if self.kdl:
-            self.teacher_model = DualScaleVLNBert(cfg.teacher_model)
+            self.teacher_model = DualScaleVLNBert(cfg.teacher_model,
+                                                  dtype=dtype)
         self.rollout = Rollout(self.tables, cfg.env, self.model,
                                self.teacher_model)
 
@@ -90,6 +92,12 @@ class Trainer:
                 self.t_opt = make_optimizer(cfg, lr=cfg.distill.t_lr)
                 self.t_opt_state = self.t_opt.init(self.t_params)
         self._step_fn = None
+        self._ability_grad_fns = {}
+        # per-ability gradient magnitudes for the 'grad' MKRW mode, order
+        # (txt, img, local, global, action); EMA-updated every
+        # aw_update_iter (main_nav.py:309-320,446-455; the accumulator
+        # itself is absent upstream — reconstructed here)
+        self.ability_grads = np.zeros(5, np.float32)
         self.iteration = 0
         self.logs = {}
 
@@ -105,13 +113,13 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _loss_for_rollout(self, params, t_params, state0, txt_ids, txt_masks,
-                          feedback, train_ml, rng):
+                          feedback, train_ml, rng, ability_grads=None):
         c = self.cfg
         d = c.distill if self.kdl else None
         _, aux = self.rollout.run(
             params, state0, txt_ids, txt_masks, feedback, rng,
             train_ml=train_ml, deterministic=False,
-            teacher_params=t_params, distill=d)
+            teacher_params=t_params, distill=d, ability_grads=ability_grads)
         bs = state0.batch_size
         ml = aux["ml_loss"] * train_ml / bs
         metrics = {"ml_loss": ml}
@@ -135,7 +143,8 @@ class Trainer:
         alg = c.train.train_alg
         icod = self.kdl and c.distill.train_teacher
 
-        def loss_fn(params, t_params, state0, txt_ids, txt_masks, rng):
+        def loss_fn(params, t_params, state0, txt_ids, txt_masks, rng,
+                    ability_grads):
             k1, k2 = jax.random.split(rng)
             total = jnp.zeros(())
             t_total = jnp.zeros(())
@@ -143,30 +152,31 @@ class Trainer:
             if alg == "imitation":
                 l, tl, m = self._loss_for_rollout(
                     params, t_params, state0, txt_ids, txt_masks,
-                    "teacher", 1.0, k1)
+                    "teacher", 1.0, k1, ability_grads)
                 total, t_total = total + l, t_total + tl
                 metrics.update({f"il/{k}": v for k, v in m.items()})
             else:  # dagger (run_r2r_kdl_valid.sh: ml_weight 0.2 + sample 1.0)
                 if c.train.ml_weight != 0:
                     l, tl, m = self._loss_for_rollout(
                         params, t_params, state0, txt_ids, txt_masks,
-                        "teacher", c.train.ml_weight, k1)
+                        "teacher", c.train.ml_weight, k1, ability_grads)
                     total, t_total = total + l, t_total + tl
                     metrics.update({f"il/{k}": v for k, v in m.items()})
                 l, tl, m = self._loss_for_rollout(
                     params, t_params, state0, txt_ids, txt_masks,
-                    c.train.dagger_sample, 1.0, k2)
+                    c.train.dagger_sample, 1.0, k2, ability_grads)
                 total, t_total = total + l, t_total + tl
                 metrics.update({f"dagger/{k}": v for k, v in m.items()})
             metrics["loss"] = total
             return total + t_total, metrics
 
         def step(params, opt_state, t_params, t_opt_state, state0, txt_ids,
-                 txt_masks, rng):
+                 txt_masks, rng, ability_grads):
             if icod:
                 (loss, metrics), (grads, t_grads) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True)(
-                        params, t_params, state0, txt_ids, txt_masks, rng)
+                        params, t_params, state0, txt_ids, txt_masks, rng,
+                        ability_grads)
                 updates, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 t_updates, t_opt_state = self.t_opt.update(
@@ -175,7 +185,8 @@ class Trainer:
             else:
                 (loss, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(
-                        params, t_params, state0, txt_ids, txt_masks, rng)
+                        params, t_params, state0, txt_ids, txt_masks, rng,
+                        ability_grads)
                 updates, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
             metrics["grad_norm"] = optax.global_norm(grads)
@@ -193,9 +204,51 @@ class Trainer:
         (self.params, self.opt_state, self.t_params, self.t_opt_state,
          metrics) = self._step_fn(
             self.params, self.opt_state, self.t_params, self.t_opt_state,
-            state0, jnp.asarray(txt_ids), jnp.asarray(txt_masks), k)
+            state0, jnp.asarray(txt_ids), jnp.asarray(txt_masks), k,
+            jnp.asarray(self.ability_grads))
         self.iteration += 1
         return {k: float(v) for k, v in metrics.items()}
+
+    # ----- 'grad' adaptive ability weights -----
+
+    def update_ability_grads(self, items, ema: float = 0.5):
+        """Per-ability KD gradient magnitudes — reconstruction of the
+        reference's missing ``compute_multiSubject_grad`` (called at
+        agent.py:449,455 / agent_base.py:266,271, never defined): one
+        backward per ability over a teacher-forced rollout, EMA-combined
+        into the weights consumed by grad_softmax_weights."""
+        import dataclasses
+
+        from .distill import ABILITIES, total_kd_loss as tkl
+
+        if not self.kdl:
+            return self.ability_grads
+        txt_ids, txt_masks = pad_instructions(items, self.cfg.env.max_instr_len)
+        state0 = episodes_from_items(self.tables, self.world, items,
+                                     self.rollout.model_dims)
+        self.rng, k = jax.random.split(self.rng)
+        norms = []
+        for a in ABILITIES:
+            if a not in self._ability_grad_fns:
+                d = dataclasses.replace(self.cfg.distill, ability_types=(a,),
+                                        adaptive_ability_weight=False,
+                                        train_teacher=False)
+
+                def loss(params, t_params, s0, ids, masks, rng, d=d):
+                    _, aux = self.rollout.run(
+                        params, s0, ids, masks, "teacher", rng, train_ml=1.0,
+                        deterministic=True, teacher_params=t_params, distill=d)
+                    return tkl(aux["kd_losses"]) / s0.batch_size
+
+                self._ability_grad_fns[a] = jax.jit(jax.grad(loss))
+            g = self._ability_grad_fns[a](
+                self.params, self.t_params, state0, jnp.asarray(txt_ids),
+                jnp.asarray(txt_masks), k)
+            norms.append(float(optax.global_norm(g)))
+        new = np.asarray(norms, np.float32)
+        self.ability_grads = (ema * self.ability_grads
+                              + (1 - ema) * new).astype(np.float32)
+        return self.ability_grads
 
     def fit(self, items, iters, log_every=100, rng=None, callback=None,
             aug_items=None, speaker=None, speaker_tok=None, aug_times=1):
