@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--pallas", action="store_true", default=False,
+                    help="fused pallas attention (wins for many-head models; "
+                         "the 2-head MAGIC-S is faster on plain XLA)")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +64,7 @@ def main():
             num_l_layers=layers, num_pano_layers=2,
             num_x_layers=3 if not args.smoke else 1,
             image_feat_size=feat,
+            use_pallas_attention=args.pallas and not args.smoke,
         ),
         env=EnvConfig(max_action_len=t_steps, max_gmap_len=max_gmap,
                       max_instr_len=txt_len),

@@ -61,6 +61,9 @@ class ModelConfig:
     do_add_method: str = "door"          # door | add
     cfp_temperature: float = 1.0
 
+    # Pallas fused-attention kernel (TPU inference/eval path)
+    use_pallas_attention: bool = False
+
     # knowledge-distillation heads (student role projects to teacher width)
     kd_heads: bool = False
     kd_target_size: int = 768

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -36,6 +37,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, q_input, kv_input, bias=None, deterministic=True):
@@ -51,6 +53,18 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(x.shape[:-1] + (h, hd)).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
+        if (self.use_pallas and deterministic
+                and jax.default_backend() == "tpu"):
+            # fused Pallas path (no attention-prob dropout; eval/inference)
+            from ..ops.attention import fused_attention
+
+            zero = jnp.zeros((1, 1, 1, 1), self.dtype)
+            ctx, probs_avg = fused_attention(q, k, v,
+                                             zero if bias is None else bias)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(
+                ctx.shape[0], ctx.shape[2], d)
+            out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
+            return out, probs_avg
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
         if bias is not None:
             scores = scores + bias.astype(scores.dtype)
@@ -96,6 +110,7 @@ class TransformerLayer(nn.Module):
     attn_dropout: float = 0.1
     eps: float = 1e-12
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, bias=None, deterministic=True):
@@ -106,7 +121,7 @@ class TransformerLayer(nn.Module):
             attn_bias = bias if attn_bias is None else attn_bias + bias
         attn_out, probs = MultiHeadAttention(
             self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
-            name="attention",
+            self.use_pallas, name="attention",
         )(x, x, attn_bias, deterministic)
         x = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
                     name="attention_norm")(x, attn_out, deterministic)
@@ -132,6 +147,7 @@ class CrossModalLayer(nn.Module):
     eps: float = 1e-12
     lang2visn: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, visn, lang, visn_mask, lang_mask, self_bias=None,
@@ -141,7 +157,7 @@ class CrossModalLayer(nn.Module):
 
         x_out, x_probs = MultiHeadAttention(
             self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
-            name="crossattention",
+            self.use_pallas, name="crossattention",
         )(visn, lang, lang_bias, deterministic)
         visn = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
                        name="crossattention_norm")(visn, x_out, deterministic)
@@ -159,7 +175,7 @@ class CrossModalLayer(nn.Module):
             self_attn_bias = self_attn_bias + self_bias
         s_out, _ = MultiHeadAttention(
             self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
-            name="self_attention",
+            self.use_pallas, name="self_attention",
         )(visn, visn, self_attn_bias, deterministic)
         visn = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
                        name="self_norm")(visn, s_out, deterministic)

@@ -64,7 +64,8 @@ class LanguageEncoder(nn.Module):
             TransformerLayer(
                 c.hidden_size, c.num_attention_heads, c.intermediate_size,
                 c.hidden_dropout, c.attention_dropout, c.layer_norm_eps,
-                dtype=self.dtype, name=f"layer_{i}")
+                dtype=self.dtype, use_pallas=c.use_pallas_attention,
+                name=f"layer_{i}")
             for i in range(c.num_l_layers)
         ]
 
@@ -155,7 +156,8 @@ class PanoEncoder(nn.Module):
             x, probs = TransformerLayer(
                 c.hidden_size, c.num_attention_heads, c.intermediate_size,
                 c.hidden_dropout, c.attention_dropout, c.layer_norm_eps,
-                dtype=self.dtype, name=f"layer_{i}",
+                dtype=self.dtype, use_pallas=c.use_pallas_attention,
+                name=f"layer_{i}",
             )(x, pano_masks, deterministic=deterministic)
             attns.append(probs)
         img_attns = jnp.stack(attns, axis=1)
@@ -198,7 +200,7 @@ class CrossModalEncoder(nn.Module):
                 c.hidden_size, c.num_attention_heads, c.intermediate_size,
                 c.hidden_dropout, c.attention_dropout, c.layer_norm_eps,
                 lang2visn=c.use_lang2visn_attn, dtype=self.dtype,
-                name=f"layer_{i}",
+                use_pallas=c.use_pallas_attention, name=f"layer_{i}",
             )(visn, lang, visn_mask, lang_mask, self_bias, deterministic)
             attns.append(probs)
         return visn, jnp.stack(attns, axis=1)
