@@ -128,3 +128,60 @@ def test_grad_ability_weights(setup):
     assert g.shape == (5,) and np.isfinite(g).all() and (g >= 0).all()
     m = tr.train_step(items)
     assert np.isfinite(m["loss"])
+
+
+def test_a2c_branch_trains(setup):
+    import dataclasses
+
+    world, cfg, nav, items = setup
+    from vln_magic_tpu.agent.trainer import Trainer
+
+    cfg2 = dataclasses.replace(
+        cfg,
+        env=dataclasses.replace(cfg.env, expert_policy="spl"),
+        train=dataclasses.replace(cfg.train, train_alg="a2c", lr=1e-4,
+                                  ml_weight=0.2),
+    )
+    tr = Trainer(cfg2, world)
+    c_before = np.asarray(
+        jax.tree_util.tree_leaves(tr.critic_params)[0]).copy()
+    m = tr.train_step(items)
+    assert np.isfinite(m["loss"]) and "rl/loss" in m
+    c_after = np.asarray(jax.tree_util.tree_leaves(tr.critic_params)[0])
+    assert not np.array_equal(c_before, c_after), "critic must update"
+
+
+def test_trainer_save_load_roundtrip(setup, tmp_path):
+    import dataclasses
+
+    world, cfg, nav, items = setup
+    from vln_magic_tpu.agent.trainer import Trainer
+
+    cfg2 = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, expert_policy="spl"),
+        train=dataclasses.replace(cfg.train, train_alg="imitation", lr=1e-4))
+    tr = Trainer(cfg2, world)
+    tr.train_step(items)
+    p = str(tmp_path / "latest.pt")
+    tr.save(p, save_optimizer=True)
+    tr2 = Trainer(cfg2, world, rng=jax.random.PRNGKey(123))
+    epoch, missing, unexpected = tr2.load(p, resume_optimizer=True)
+    assert epoch == 1 and not missing and not unexpected
+    a = jax.tree_util.tree_leaves(tr.params)[0]
+    b = jax.tree_util.tree_leaves(tr2.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dist_utils_single_process():
+    from vln_magic_tpu.utils.dist import (gather_predictions,
+                                          merge_dist_results, shard_items)
+
+    preds = [{"instr_id": "a"}, {"instr_id": "b"}]
+    assert gather_predictions(preds) == preds
+    merged = merge_dist_results([[{"instr_id": "a"}], [{"instr_id": "a"},
+                                                      {"instr_id": "c"}]])
+    assert [p["instr_id"] for p in merged] == ["a", "c"]
+    items = list(range(10))
+    shards = [shard_items(items, 3, i) for i in range(3)]
+    assert sum(len(s) for s in shards) == 10
+    assert shards[2][-1] == 9

@@ -681,7 +681,8 @@ class Rollout:
             feedback: str, rng=None, train_ml: float | None = None,
             deterministic: bool = True, teacher_params=None,
             distill=None, ability_grads=None, use_teacher_policy=False,
-            zdicts=None, ensemble_n: int = 1):
+            zdicts=None, ensemble_n: int = 1, train_rl: bool = False,
+            critic=None, critic_params=None, gamma: float = 0.9):
         """Full episode rollout under ``lax.scan``.
 
         Single-model greedy/IL rollout, or — when ``teacher_params`` and the
@@ -830,9 +831,33 @@ class Rollout:
             a = self.select_action(policy_logits, feedback, k_act, nav_targets,
                                    gmap, state)
             stop_prob = jax.nn.softmax(policy_logits, axis=-1)[:, 0]
+
+            rec = {"chosen": None, "ce": step_ce}
+            if train_rl:
+                # A2C records (the reference's RL branch is a stub — rollout
+                # carries a Critic but computes no RL loss, SURVEY §2.5;
+                # completed here): log-prob of the taken action, critic value
+                # of the fused state, entropy, and distance-progress reward
+                bi_ = jnp.arange(state.batch_size)
+                logp_all = jax.nn.log_softmax(policy_logits, axis=-1)
+                rec["logp"] = logp_all[bi_, a]
+                rec["entropy"] = -(jnp.exp(logp_all) * jnp.where(
+                    jnp.isfinite(logp_all), logp_all, 0.0)).sum(-1)
+                rec["value"] = critic.apply(critic_params,
+                                            outs["cls_embeds"])
+                rec["live"] = (~state.ended).astype(jnp.float32)
+                d_before = self.t.dist[state.scan, state.cur, state.goal]
+
             state, chosen, just_ended = self.transition(
                 state, gmap, a, stop_prob, t_step, feedback)
-            rec = {"chosen": chosen, "ce": step_ce}
+            rec["chosen"] = chosen
+            if train_rl:
+                d_after = self.t.dist[state.scan, state.cur, state.goal]
+                progress = (d_before - d_after) * rec["live"]
+                bonus = jnp.where(just_ended,
+                                  jnp.where(d_after < self.env.error_margin,
+                                            2.0, -2.0), 0.0)
+                rec["reward"] = progress + bonus
             return (state, rng, ml_loss, t_ml_loss, kd_acc, t_kd_acc), rec
 
         zeros = jnp.zeros(())
@@ -850,6 +875,23 @@ class Rollout:
             "stop_node": self.final_stop_node(state),
             "final_cur": state.cur,
         }
+        if train_rl:
+            # discounted returns (reverse scan) -> advantage actor-critic
+            def disc(g_next, xs):
+                r, live = xs
+                g = r + gamma * g_next * live
+                return g, g
+
+            _, returns = jax.lax.scan(
+                disc, jnp.zeros((state.batch_size,)),
+                (recs["reward"], recs["live"]), reverse=True)
+            adv = jax.lax.stop_gradient(returns - recs["value"])
+            live = recs["live"]
+            policy_loss = -(recs["logp"] * adv * live).sum()
+            value_loss = 0.5 * (((recs["value"] - returns) ** 2) * live).sum()
+            entropy = (recs["entropy"] * live).sum()
+            aux["rl_loss"] = policy_loss + value_loss
+            aux["rl_entropy"] = entropy
         return state, aux
 
     def final_stop_node(self, state: EpisodeBatch):

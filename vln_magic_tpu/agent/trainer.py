@@ -21,7 +21,7 @@ import optax
 
 from ..config import MagicConfig
 from ..env.world import World
-from ..models import DualScaleVLNBert
+from ..models import Critic, DualScaleVLNBert
 from .distill import total_kd_loss
 from .navigator import episodes_from_items, pad_instructions
 from .rollout import Rollout, Tables, init_episodes
@@ -85,6 +85,14 @@ class Trainer:
         self.params = self._init(self.model, cfg.model, k_s)
         self.opt = make_optimizer(cfg)
         self.opt_state = self.opt.init(self.params)
+        # value head — always constructed like the reference (agent.py:39);
+        # trained only on the RL branch
+        self.critic = Critic(cfg.model.hidden_size, dtype=dtype)
+        self.critic_params = self.critic.init(
+            jax.random.PRNGKey(cfg.train.seed + 7),
+            jnp.zeros((1, cfg.model.hidden_size)))
+        self.critic_opt = make_optimizer(cfg)
+        self.critic_opt_state = self.critic_opt.init(self.critic_params)
         self.t_params = self.t_opt = self.t_opt_state = None
         if self.kdl:
             self.t_params = self._init(self.teacher_model, cfg.teacher_model, k_t)
@@ -142,9 +150,10 @@ class Trainer:
         c = self.cfg
         alg = c.train.train_alg
         icod = self.kdl and c.distill.train_teacher
+        rl = alg not in ("imitation", "dagger")   # the reference's A2C branch
 
-        def loss_fn(params, t_params, state0, txt_ids, txt_masks, rng,
-                    ability_grads):
+        def loss_fn(params, critic_params, t_params, state0, txt_ids,
+                    txt_masks, rng, ability_grads):
             k1, k2 = jax.random.split(rng)
             total = jnp.zeros(())
             t_total = jnp.zeros(())
@@ -155,7 +164,8 @@ class Trainer:
                     "teacher", 1.0, k1, ability_grads)
                 total, t_total = total + l, t_total + tl
                 metrics.update({f"il/{k}": v for k, v in m.items()})
-            else:  # dagger (run_r2r_kdl_valid.sh: ml_weight 0.2 + sample 1.0)
+            elif alg == "dagger":
+                # run_r2r_kdl_valid.sh regime: ml_weight 0.2 + sample 1.0
                 if c.train.ml_weight != 0:
                     l, tl, m = self._loss_for_rollout(
                         params, t_params, state0, txt_ids, txt_masks,
@@ -167,32 +177,64 @@ class Trainer:
                     c.train.dagger_sample, 1.0, k2, ability_grads)
                 total, t_total = total + l, t_total + tl
                 metrics.update({f"dagger/{k}": v for k, v in m.items()})
+            else:
+                # A2C: teacher-forced IL at ml_weight + on-policy
+                # advantage-actor-critic rollout (the reference's third
+                # branch, agent.py:495-502, completed with a real RL loss)
+                if c.train.ml_weight != 0:
+                    l, tl, m = self._loss_for_rollout(
+                        params, t_params, state0, txt_ids, txt_masks,
+                        "teacher", c.train.ml_weight, k1, ability_grads)
+                    total, t_total = total + l, t_total + tl
+                    metrics.update({f"il/{k}": v for k, v in m.items()})
+                _, aux = self.rollout.run(
+                    params, state0, txt_ids, txt_masks, "sample", k2,
+                    train_ml=None, deterministic=False,
+                    train_rl=True, critic=self.critic,
+                    critic_params=critic_params, gamma=c.train.gamma)
+                bs = state0.batch_size
+                rl = (aux["rl_loss"]
+                      - c.train.entropy_loss_weight * aux["rl_entropy"]) / bs
+                total = total + rl
+                metrics["rl/loss"] = rl
             metrics["loss"] = total
             return total + t_total, metrics
 
-        def step(params, opt_state, t_params, t_opt_state, state0, txt_ids,
-                 txt_masks, rng, ability_grads):
+        def step(params, opt_state, critic_params, critic_opt_state,
+                 t_params, t_opt_state, state0, txt_ids, txt_masks, rng,
+                 ability_grads):
             if icod:
                 (loss, metrics), (grads, t_grads) = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1), has_aux=True)(
-                        params, t_params, state0, txt_ids, txt_masks, rng,
-                        ability_grads)
+                    loss_fn, argnums=(0, 2), has_aux=True)(
+                        params, critic_params, t_params, state0, txt_ids,
+                        txt_masks, rng, ability_grads)
                 updates, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 t_updates, t_opt_state = self.t_opt.update(
                     t_grads, t_opt_state, t_params)
                 t_params = optax.apply_updates(t_params, t_updates)
+            elif rl:
+                (loss, metrics), (grads, c_grads) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(
+                        params, critic_params, t_params, state0, txt_ids,
+                        txt_masks, rng, ability_grads)
+                updates, opt_state = self.opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                c_updates, critic_opt_state = self.critic_opt.update(
+                    c_grads, critic_opt_state, critic_params)
+                critic_params = optax.apply_updates(critic_params, c_updates)
             else:
                 (loss, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(
-                        params, t_params, state0, txt_ids, txt_masks, rng,
-                        ability_grads)
+                        params, critic_params, t_params, state0, txt_ids,
+                        txt_masks, rng, ability_grads)
                 updates, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
             metrics["grad_norm"] = optax.global_norm(grads)
-            return params, opt_state, t_params, t_opt_state, metrics
+            return (params, opt_state, critic_params, critic_opt_state,
+                    t_params, t_opt_state, metrics)
 
-        return jax.jit(step, donate_argnums=(0, 1, 2, 3))
+        return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5))
 
     def train_step(self, items):
         if self._step_fn is None:
@@ -201,13 +243,54 @@ class Trainer:
         state0 = episodes_from_items(self.tables, self.world, items,
                                      self.rollout.model_dims)
         self.rng, k = jax.random.split(self.rng)
-        (self.params, self.opt_state, self.t_params, self.t_opt_state,
+        (self.params, self.opt_state, self.critic_params,
+         self.critic_opt_state, self.t_params, self.t_opt_state,
          metrics) = self._step_fn(
-            self.params, self.opt_state, self.t_params, self.t_opt_state,
+            self.params, self.opt_state, self.critic_params,
+            self.critic_opt_state, self.t_params, self.t_opt_state,
             state0, jnp.asarray(txt_ids), jnp.asarray(txt_masks), k,
             jnp.asarray(self.ability_grads))
         self.iteration += 1
         return {k: float(v) for k, v in metrics.items()}
+
+    # ----- checkpointing (agent_base.py:298-359 semantics) -----
+
+    def save(self, path: str, save_optimizer: bool = False):
+        """Reference-format .pt containers: student (+ teacher_ prefixed file
+        when co-training).  Optimizer state goes to an orbax sibling dir when
+        requested (--save_optimizer)."""
+        from ..utils.checkpoint import CheckpointManager, save_torch_checkpoint
+
+        save_torch_checkpoint(self.params, path, epoch=self.iteration)
+        if self.t_params is not None and self.cfg.distill.train_teacher:
+            import os
+
+            d, f = os.path.split(path)
+            save_torch_checkpoint(self.t_params, os.path.join(d, "teacher_" + f),
+                                  epoch=self.iteration)
+        if save_optimizer:
+            mgr = CheckpointManager(path + ".opt")
+            mgr.save("opt_state", self.opt_state)
+
+    def load(self, path: str, resume_optimizer: bool = False,
+             teacher_path: str | None = None):
+        from ..utils.checkpoint import CheckpointManager, load_torch_checkpoint
+
+        self.params, epoch, missing, unexpected = load_torch_checkpoint(
+            path, template=self.params)
+        self.iteration = epoch
+        if teacher_path and self.t_params is not None:
+            # teacher load drops KD heads unless it co-trains
+            # (agent_base.py:326-332)
+            self.t_params, _, _, _ = load_torch_checkpoint(
+                teacher_path, template=self.t_params,
+                drop_kd_heads=not self.cfg.distill.train_teacher)
+        if resume_optimizer:
+            mgr = CheckpointManager(path + ".opt")
+            if mgr.has("opt_state"):
+                self.opt_state = mgr.restore("opt_state",
+                                             template=self.opt_state)
+        return epoch, missing, unexpected
 
     # ----- 'grad' adaptive ability weights -----
 

@@ -150,6 +150,8 @@ class TrainConfig:
     warmup_iters: int = 0
     seed: int = 0
     feat_dropout: float = 0.4
+    gamma: float = 0.9                   # RL discount (parser.py:93)
+    entropy_loss_weight: float = 0.01    # (parser.py:48)
     compute_dtype: str = "float32"       # bfloat16 on TPU training
 
 
