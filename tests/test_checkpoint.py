@@ -117,3 +117,53 @@ def test_roberta_import(small):
 
     outs = model.apply(new_params, dummy_step_batch(cfg))
     assert np.isfinite(np.asarray(outs["cls_embeds"])).all()
+
+
+def test_pretrain_to_nav_weight_flow(tmp_path):
+    """Pretrain one step, export .pt, load the trunk into the navigator via
+    the bert. prefix key map (the --bert_ckpt_file flow, parser.py:44)."""
+    import numpy as np
+
+    from vln_magic_tpu.config import (EnvConfig, MagicConfig, ModelConfig,
+                                      TrainConfig)
+    from vln_magic_tpu.agent import Navigator
+    from vln_magic_tpu.env import make_synthetic_world
+    from vln_magic_tpu.env.synthetic import make_synthetic_instructions
+    from vln_magic_tpu.pretrain.trainer import PretrainTrainer
+    from vln_magic_tpu.utils.checkpoint import pretrain_to_nav_key_map
+
+    world = make_synthetic_world(num_scans=1, nodes_per_scan=14, feat_dim=16,
+                                 seed=61)
+    mcfg = ModelConfig(vocab_size=300, hidden_size=32, num_attention_heads=2,
+                       num_l_layers=1, num_pano_layers=1, num_x_layers=1,
+                       image_feat_size=16, max_position_embeddings=80)
+    cfg = MagicConfig(model=mcfg, env=EnvConfig(max_instr_len=32,
+                                                max_action_len=4,
+                                                max_gmap_len=16),
+                      train=TrainConfig(batch_size=4))
+    items = make_synthetic_instructions(world, 8, np.random.default_rng(9),
+                                        vocab_size=300, min_path=2, max_path=4)
+    pt = PretrainTrainer(cfg, world, image_prob_size=20,
+                         builder_kwargs=dict(max_steps=4, max_gmap=16,
+                                             max_txt=32))
+    pt.fit(items, iters=1)
+    p = str(tmp_path / "model_step_1.pt")
+    save_torch_checkpoint(pt.params, p, epoch=1)
+
+    nav = Navigator(cfg, world, rng=jax.random.PRNGKey(5))
+    loaded, _, missing, unexpected = load_torch_checkpoint(
+        p, template=nav.params, key_map=pretrain_to_nav_key_map)
+    # the trunk must fully transfer (no missing nav params)
+    assert not missing, missing
+    assert not unexpected, unexpected
+    # word embedding actually carried over
+    from vln_magic_tpu.utils.checkpoint import flatten_params
+
+    f_pre = flatten_params(pt.params)
+    f_nav = flatten_params(loaded)
+    np.testing.assert_array_equal(
+        f_pre["params.bert.lang_encoder.word_embeddings.embedding"],
+        f_nav["params.lang_encoder.word_embeddings.embedding"])
+    nav.params = loaded
+    (avg, _), _ = nav.evaluate(items[:4], batch_size=4)
+    assert np.isfinite(avg["nDTW"])

@@ -212,9 +212,17 @@ def train(args, cfg, world, splits):
         trainer.t_params, _, _, _ = load_torch_checkpoint(
             args.teacher_resume_file, template=trainer.t_params,
             drop_kd_heads=not cfg.distill.train_teacher)
-    elif args.bert_ckpt_file:
-        trainer.params, _, _, _ = load_torch_checkpoint(
-            args.bert_ckpt_file, template=trainer.params)
+    if args.bert_ckpt_file:
+        # pretraining checkpoint: strip the bert. trunk prefix, drop task
+        # heads (parser.py:44 --bert_ckpt_file)
+        from ..utils.checkpoint import pretrain_to_nav_key_map
+
+        trainer.params, _, miss, _ = load_torch_checkpoint(
+            args.bert_ckpt_file, template=trainer.params,
+            key_map=pretrain_to_nav_key_map)
+        write_to_record_file(
+            f"loaded pretrain trunk {args.bert_ckpt_file} "
+            f"({len(miss)} params left at init)", record)
 
     nav = Navigator(cfg, world, params=trainer.params)
     best = {s: -1.0 for s in splits if s.startswith("val")}

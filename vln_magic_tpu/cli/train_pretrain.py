@@ -121,6 +121,13 @@ def main(argv=None):
             + " ".join(f"{k}={v:.3f}" for k, v in val.items()), record)
         mgr.save("latest", trainer.params)
         mgr.save(f"model_step_{done}", trainer.params)
+        # reference-format export for the --bert_ckpt_file fine-tune flow
+        from ..utils.checkpoint import save_torch_checkpoint
+
+        save_torch_checkpoint(
+            trainer.params,
+            os.path.join(args.output_dir, "ckpts", f"model_step_{done}.pt"),
+            epoch=done)
     logger.close()
     return trainer
 

@@ -70,7 +70,9 @@ class HashFeatureStore:
         self.seed = seed
 
     def get(self, scan: str, viewpoint: str) -> np.ndarray:
-        h = abs(hash((scan, viewpoint, self.seed))) % (2**31)
+        import zlib
+
+        h = zlib.crc32(f"{scan}|{viewpoint}|{self.seed}".encode()) & 0x7FFFFFFF
         r = np.random.default_rng(h)
         return r.standard_normal((36, self.dim)).astype(np.float32) * 0.5
 

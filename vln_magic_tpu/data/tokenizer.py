@@ -24,7 +24,9 @@ class HashTokenizer:
         self.vocab_size = vocab_size
 
     def encode(self, text: str):
-        ids = [4 + (abs(hash(w.lower())) % (self.vocab_size - 8))
+        import zlib
+
+        ids = [4 + (zlib.crc32(w.lower().encode()) % (self.vocab_size - 8))
                for w in text.split()]
         return [self.bos_token_id] + ids + [self.eos_token_id]
 

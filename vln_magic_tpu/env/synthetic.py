@@ -34,11 +34,17 @@ def _random_graph(rng: np.random.Generator, num_nodes: int, radius: float) -> tu
     return pos, adj
 
 
+def _stable_hash(*parts) -> int:
+    """Process-stable hash (python's hash() is PYTHONHASHSEED-randomized)."""
+    import zlib
+
+    return zlib.crc32("|".join(str(p) for p in parts).encode()) & 0x7FFFFFFF
+
+
 def _feature_fn(feat_dim: int, seed: int):
     def fn(scan: str, node_ids: list[str]) -> np.ndarray:
         # stable per-scan features: same scan always produces the same tensor
-        h = np.uint32(abs(hash((scan, seed))) % (2**31))
-        r = np.random.default_rng(int(h))
+        r = np.random.default_rng(_stable_hash(scan, seed))
         return r.standard_normal((len(node_ids), 36, feat_dim)).astype(np.float32) * 0.5
     return fn
 

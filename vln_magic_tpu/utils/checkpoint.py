@@ -122,6 +122,19 @@ def load_torch_checkpoint(path: str, template=None,
     return nested, epoch, missing, unexpected
 
 
+def pretrain_to_nav_key_map(name: str) -> str | None:
+    """Adapt pretraining checkpoint names to the navigator tree: the shared
+    trunk lives under ``bert.`` in the pretrain model (matching the
+    reference's checkpoint remap prefix, train_r2r_magic.py:193-206); task
+    heads are dropped.  Use as ``key_map`` for load_torch_checkpoint when
+    loading a ``--bert_ckpt_file`` (parser.py:44)."""
+    drop = ("mlm_head", "mrc_head", "cfp_txt_pool", "cfp_gmap_pool",
+            "cfp_vp_pool", "cfp_fused_pool")
+    if any(f".{d}." in name or name.startswith(f"params.{d}.") for d in drop):
+        return None
+    return name.replace("params.bert.", "params.")
+
+
 # ----- orbax-native checkpoints -----
 
 class CheckpointManager:
