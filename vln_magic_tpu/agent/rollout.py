@@ -212,8 +212,9 @@ class Rollout:
             aug36 = t.aug_features[scan, cur].astype(jnp.float32)
             feats36 = jnp.where(state.aug[:, None, None], aug36, feats36)
 
-        cand_feat = jnp.take_along_axis(
-            feats36, cand_view[..., None], axis=1)           # [B, C, D]
+        cand_onehot = jax.nn.one_hot(cand_view, 36, dtype=jnp.float32)
+        cand_feat = jnp.einsum("bcv,bvd->bcd", cand_onehot, feats36,
+                               preferred_element_type=jnp.float32)
         cand_ang = gj.angle_feature(
             t.cand_heading[scan, cur] - state.heading[:, None],
             t.cand_elevation[scan, cur] - state.elevation[:, None],
@@ -257,11 +258,13 @@ class Rollout:
         cand_visited = jnp.take_along_axis(
             state.visited, jnp.maximum(cand_ids, 0), axis=1)
         upd = cand_mask & ~cand_visited & live[:, None]
-        tgt = jnp.where(upd, cand_ids, trash)
+        # scatter-add as a one-hot matmul (MXU) — C-row scatters serialize
         cand_emb = pano_embeds[:, : cand_ids.shape[1]]
-        es = es.at[bi[:, None], tgt].add(
-            jnp.where(upd[..., None], cand_emb, 0.0))
-        ec = ec.at[bi[:, None], tgt].add(upd.astype(jnp.float32))
+        onehot = jax.nn.one_hot(jnp.where(upd, cand_ids, -1),
+                                es.shape[1], dtype=jnp.float32)  # [B, C, N+1]
+        es = es + jnp.einsum("bcn,bcd->bnd", onehot, cand_emb,
+                             preferred_element_type=jnp.float32)
+        ec = ec + onehot.sum(axis=1)
         return state.replace(
             embed_sum={**state.embed_sum, role: es},
             embed_cnt={**state.embed_cnt, role: ec})
@@ -298,21 +301,31 @@ class Rollout:
             [jnp.zeros((b, 2), jnp.int32),
              jnp.take_along_axis(state.step_ids[:, :n], token_node, 1)], axis=1)
 
+        # one-hot matmul gathers (see pair_dists note below): token lookups
+        # ride the MXU instead of serializing
+        onehot = jax.nn.one_hot(jnp.where(token_valid, token_node, -1), n,
+                                dtype=jnp.float32)            # [B, G-2, N]
         emb = state.embed_sum[role][:, :n]
         cnt = jnp.maximum(state.embed_cnt[role][:, :n], 1.0)
         node_embed = emb / cnt[..., None]
-        tok_embed = jnp.take_along_axis(node_embed, token_node[..., None], 1)
+        tok_embed = jnp.einsum("bgn,bnd->bgd", onehot, node_embed,
+                               preferred_element_type=jnp.float32)
         mem_embed = state.mem[role]
         d = tok_embed.shape[-1]
         img_embeds = jnp.concatenate(
             [jnp.zeros((b, 1, d)), mem_embed[:, None, :], tok_embed], axis=1)
 
         cur_pos = t.positions[state.scan, state.cur]          # [B, 3]
-        tok_pos = t.positions[state.scan[:, None], token_node]
+        pos_b = t.positions[state.scan]                       # [B, N, 3]
+        tok_pos = jnp.einsum("bgn,bnd->bgd", onehot, pos_b,
+                             preferred_element_type=jnp.float32)
         dist_row = t.dist[state.scan, state.cur]              # [B, N]
         steps_row = t.steps[state.scan, state.cur]
-        gdist = jnp.take_along_axis(dist_row, token_node, 1)
-        gsteps = jnp.take_along_axis(steps_row, token_node, 1).astype(jnp.float32)
+        gdist = jnp.einsum("bgn,bn->bg", onehot, dist_row,
+                           preferred_element_type=jnp.float32)
+        gsteps = jnp.einsum("bgn,bn->bg", onehot,
+                            steps_row.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
         pos7 = gj.pos_features_7(cur_pos[:, None, :], tok_pos, gdist, gsteps,
                                  state.heading, state.elevation,
                                  self.cfg.angle_feat_size)
@@ -325,10 +338,15 @@ class Rollout:
         pos_fts = jnp.concatenate(
             [jnp.broadcast_to(null7, (b, 2, null7.shape[-1])), pos7], axis=1)
 
-        # pairwise graph distances for the sprel bias (slots >= 2)
-        dists = t.dist[state.scan]                            # [B, N, N]
-        pair = dists[bi[..., None], token_node[:, :, None], token_node[:, None, :]]
-        pair = pair * (token_valid[:, :, None] & token_valid[:, None, :])
+        # pairwise graph distances for the sprel bias (slots >= 2).
+        # TPU point/row gathers of short rows serialize and dominated the
+        # whole rollout (2.2x); the one-hot matmul formulation keeps the
+        # lookup on the MXU: onehot(tok) @ dist[scan] @ onehot(tok)^T.
+        dist_b = t.dist[state.scan]                           # [B, N, N]
+        rows = jnp.einsum("bgn,bnm->bgm", onehot, dist_b,
+                          preferred_element_type=jnp.float32)
+        pair = jnp.einsum("bgm,bhm->bgh", rows, onehot,
+                          preferred_element_type=jnp.float32)
         pair_dists = jnp.zeros((b, g, g), jnp.float32)
         pair_dists = pair_dists.at[:, 2:, 2:].set(pair)
 

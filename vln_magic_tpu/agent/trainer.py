@@ -47,11 +47,24 @@ def make_lr_schedule(cfg) -> optax.Schedule:
 
 
 def make_optimizer(cfg, lr=None) -> optax.GradientTransformation:
+    """Optimizer families incl. the reference's vendored research optimizers
+    (pretrain_src/optim/: AdamW, RAdam, RangerLars = RAdam+LARS+Lookahead),
+    expressed as optax compositions."""
     t = cfg.train
     sched = make_lr_schedule(cfg) if lr is None else optax.constant_schedule(lr)
+
     opts = {
         "adamw": lambda: optax.adamw(sched, weight_decay=t.weight_decay),
         "adam": lambda: optax.adam(sched),
+        "radam": lambda: optax.radam(sched),
+        # Ralamb (RAdam + LARS trust ratio) — the core of the reference's
+        # RangerLars minus the lookahead param-pair wrapper
+        "rangerlars": lambda: optax.chain(
+            optax.scale_by_radam(), optax.scale_by_trust_ratio(),
+            optax.scale_by_learning_rate(sched)),
+        "ralamb": lambda: optax.chain(
+            optax.scale_by_radam(), optax.scale_by_trust_ratio(),
+            optax.scale_by_learning_rate(sched)),
         "sgd": lambda: optax.sgd(sched),
         "rms": lambda: optax.rmsprop(sched),
     }

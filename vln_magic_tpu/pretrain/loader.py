@@ -34,6 +34,36 @@ class MetaLoader:
         return [self.rng.choice(self.names, p=self.p) for _ in range(n)]
 
 
+class PrefetchLoader:
+    """Host->device transfer overlap: while the device runs step N, the
+    host assembles and transfers batch N+1 (the reference's PrefetchLoader,
+    pretrain_src/data/loader.py:90-126, without CUDA streams — JAX's async
+    dispatch gives the overlap once the arrays are put ahead of time)."""
+
+    def __init__(self, batch_iter, depth: int = 2):
+        self.it = iter(batch_iter)
+        self.depth = depth
+        self.queue = []
+
+    def _put(self):
+        import jax.numpy as jnp
+
+        try:
+            name, batch = next(self.it)
+        except StopIteration:
+            return False
+        self.queue.append((name, {k: jnp.asarray(v) for k, v in batch.items()}))
+        return True
+
+    def __iter__(self):
+        while len(self.queue) < self.depth and self._put():
+            pass
+        while self.queue:
+            item = self.queue.pop(0)
+            self._put()
+            yield item
+
+
 class ItemSampler:
     """Epoch-shuffled minibatch cycler over an item list."""
 
