@@ -103,6 +103,7 @@ class EpisodeBatch:
 
 
 MAX_TRAJ = 96   # expanded-trajectory buffer (bounded by steps x jump hops)
+WALK_HOPS = 32  # next-hop walk bound (>= any scan diameter)
 
 
 def init_episodes(tables: Tables, scan_idx, start, heading, gt_path, gt_len,
@@ -563,18 +564,40 @@ class Rollout:
             gmap["token_node"], jnp.maximum(action - 2, 0)[:, None], 1)[:, 0]
         target = jnp.where(moving, target, state.cur)
 
-        # walk to the last-but-one node on the shortest path cur -> target to
-        # face the final edge (the reference reads the candidate view angle
-        # from the previous node, agent.py:387-393)
-        nh = t.next_hop[state.scan]
+        # one bounded next-hop walk serves both needs: the last-but-one node
+        # (to face the final edge — the reference reads the candidate view
+        # from the previous node, agent.py:387-393) and, when the nDTW expert
+        # needs it, the expanded trajectory record.  The walk is the only
+        # sequential-gather chain left in the step, so it is merged and
+        # trajectory writes are gated statically.
+        record_traj = self.env.expert_policy == "ndtw"
+        # extract the next-hop column toward each episode's target once
+        # (one-hot contraction, MXU); the walk then reads a [B, N] table with
+        # a VPU reduce instead of chained point gathers
+        nh_b = t.next_hop[state.scan].astype(jnp.float32)     # [B, N, N]
+        col = jnp.einsum("bnm,bm->bn", nh_b,
+                         jax.nn.one_hot(target, n, dtype=jnp.float32),
+                         preferred_element_type=jnp.float32)
 
-        def walk(_, p):
-            nxt = nh[bi, p, target]
-            return jnp.where((p != target) & (nxt != target) & (nxt >= 0),
-                             nxt, p)
+        def walk(_, carry):
+            p, prev, nodes, ln = carry
+            nxt = jnp.einsum(
+                "bn,bn->b", col, jax.nn.one_hot(p, n, dtype=jnp.float32),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            stepping = moving & (p != target) & (nxt >= 0)
+            prev = jnp.where(stepping & (nxt == target), p, prev)
+            if record_traj:
+                wi = jnp.where(stepping, jnp.minimum(ln, MAX_TRAJ),
+                               jnp.full_like(ln, MAX_TRAJ))
+                nodes = nodes.at[bi, wi].set(
+                    jnp.where(stepping, nxt, nodes[bi, wi]))
+                ln = ln + stepping.astype(jnp.int32)
+            p = jnp.where(stepping, nxt, p)
+            return p, prev, nodes, ln
 
-        # bounded table walk; 32 hops >> any scan diameter
-        prev = jax.lax.fori_loop(0, 32, walk, state.cur)
+        _, prev, traj_nodes, traj_len = jax.lax.fori_loop(
+            0, WALK_HOPS, walk,
+            (state.cur, state.cur, state.traj_nodes, state.traj_len))
 
         cand_ids_prev = t.cand_ids[state.scan, prev]
         eq = cand_ids_prev == target[:, None]
@@ -586,22 +609,6 @@ class Rollout:
             moving & has_edge, (view % 12) * (jnp.pi / 6), state.heading)
         new_elevation = jnp.where(
             moving & has_edge, (view // 12 - 1) * (jnp.pi / 6), state.elevation)
-
-        # record the expanded path cur -> target in the trajectory buffer
-        # (reference traj segments, agent.py:384: path excluding cur)
-        def rec(_, carry):
-            p, nodes, ln = carry
-            nxt = nh[bi, p, target]
-            valid = moving & (p != target) & (nxt >= 0)
-            wi = jnp.where(valid, jnp.minimum(ln, MAX_TRAJ),
-                           jnp.full_like(ln, MAX_TRAJ))
-            nodes = nodes.at[bi, wi].set(
-                jnp.where(valid, nxt, nodes[bi, wi]))
-            return (jnp.where(valid, nxt, p), nodes,
-                    ln + valid.astype(jnp.int32))
-
-        _, traj_nodes, traj_len = jax.lax.fori_loop(
-            0, 32, rec, (state.cur, state.traj_nodes, state.traj_len))
 
         new_cur = jnp.where(moving, target, state.cur)
         visited = state.visited.at[bi, jnp.where(moving, new_cur, trash)].set(True)
