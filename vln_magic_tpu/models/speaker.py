@@ -126,6 +126,66 @@ class TransSpeaker(nn.Module):
         return self.decoder(tokens, enc_out, enc_masks, True)
 
 
+def beam_decode(model, params, cand_feats, pano_feats, step_masks,
+                max_len: int, bos: int, eos: int, beam: int = 4,
+                length_penalty: float = 1.0):
+    """Batched beam search (the fairseq sequence_generator's role,
+    reference: map_nav_src/fairseq/sequence_generator.py:1-919, reduced to
+    the encoder-decoder speaker).  Fixed-length, fully static shapes: beams
+    fold into the batch axis; finished beams hold their score and emit EOS.
+
+    Returns (tokens [B, beam, L] sorted best-first, scores [B, beam]).
+    """
+    b = cand_feats.shape[0]
+    enc = model.apply(params, cand_feats, pano_feats, step_masks,
+                      method=TransSpeaker.encode)
+    le, de = enc.shape[1], enc.shape[2]
+    enc_b = jnp.broadcast_to(enc[:, None], (b, beam, le, de)).reshape(
+        b * beam, le, de)
+    masks_b = jnp.broadcast_to(step_masks[:, None], (b, beam, le)).reshape(
+        b * beam, le)
+
+    tokens = jnp.full((b, beam, max_len), eos, jnp.int32).at[:, :, 0].set(bos)
+    # only beam 0 is live initially so identical beams don't multiply
+    scores = jnp.where(jnp.arange(beam)[None, :] == 0, 0.0, -1e9)
+    scores = jnp.broadcast_to(scores, (b, beam))
+    done = jnp.zeros((b, beam), bool)
+
+    def step(carry, i):
+        tokens, scores, done = carry
+        logits = model.apply(params, tokens.reshape(b * beam, max_len),
+                             enc_b, masks_b, method=TransSpeaker.decode_step)
+        logp = jax.nn.log_softmax(
+            logits.reshape(b, beam, max_len, -1)[:, :, i], axis=-1)
+        v = logp.shape[-1]
+        # finished beams only extend with EOS at no cost
+        eos_only = jnp.full((v,), -1e9).at[eos].set(0.0)
+        logp = jnp.where(done[..., None], eos_only[None, None], logp)
+        cand = scores[..., None] + logp                     # [B, beam, V]
+        flat = cand.reshape(b, beam * v)
+        top_s, top_i = jax.lax.top_k(flat, beam)
+        src = top_i // v
+        tok = (top_i % v).astype(jnp.int32)
+        tokens = jnp.take_along_axis(tokens, src[..., None], axis=1)
+        done = jnp.take_along_axis(done, src, axis=1)
+        tokens = jax.lax.cond(
+            i + 1 < max_len,
+            lambda t: t.at[:, :, i + 1].set(jnp.where(done, eos, tok)),
+            lambda t: t, tokens)
+        done = done | (tok == eos)
+        return (tokens, top_s, done), None
+
+    (tokens, scores, done), _ = jax.lax.scan(
+        step, (tokens, scores, done), jnp.arange(max_len - 1))
+    if length_penalty != 1.0:
+        lengths = (tokens != eos).sum(-1)
+        scores = scores / (lengths.astype(jnp.float32) ** length_penalty)
+    order = jnp.argsort(-scores, axis=1)
+    tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    return tokens, scores
+
+
 def greedy_decode(model, params, cand_feats, pano_feats, step_masks,
                   max_len: int, bos: int, eos: int, rng=None, sample=False):
     """Fixed-length greedy/sampled decoding (infer_batch, transpeaker.py:252).
