@@ -98,3 +98,17 @@ def test_pretrain_meta_loop_and_validate(world, items):
     val = tr.validate(items, num_batches=1)
     for k in ("mlm_acc", "sap_gacc", "sap_lacc", "sap_facc", "cfp_acc"):
         assert k in val and 0.0 <= val[k] <= 1.0
+
+
+def test_og_task(world, items):
+    cfg = _cfg()
+    tr = PretrainTrainer(cfg, world, image_prob_size=50,
+                         builder_kwargs=dict(max_steps=5, max_gmap=16,
+                                             max_txt=32))
+    batch = tr.builder.og_batch(items[:4])
+    batch = tr._fill("og", batch)
+    m1 = tr.train_step("og", batch)
+    for _ in range(9):
+        m = tr.train_step("og", batch)
+    assert np.isfinite(m["loss"]) and m["loss"] < m1["loss"]
+    assert 0.0 <= m["og_acc"] <= 1.0

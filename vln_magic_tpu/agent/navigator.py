@@ -76,7 +76,7 @@ class Navigator:
         batch = dummy_step_batch(c, batch_size=1, txt_len=8,
                                  pano_len=self.tables.cand_ids.shape[2] + 36,
                                  gmap_len=self.cfg.env.max_gmap_len)
-        return self.model.init(rng, batch)
+        return jax.jit(self.model.init)(rng, batch)
 
     def _run_fn(self, feedback: str, train_ml, deterministic: bool,
                 ensemble_n: int = 1):

@@ -270,7 +270,26 @@ class Rollout:
             embed_sum={**state.embed_sum, role: es},
             embed_cnt={**state.embed_cnt, role: ec})
 
-    def assemble_gmap(self, state: EpisodeBatch, role: str):
+    def assemble_gmap(self, state: EpisodeBatch, role: str, base=None):
+        """Role view of the gmap: shared token structure (``base``,
+        computed once per step even with two models) + this role's node
+        embeddings and [MEM] recurrence."""
+        base = base or self.assemble_gmap_base(state)
+        b = state.batch_size
+        n = self.t.node_mask.shape[1]
+        onehot = base["token_onehot"]
+        emb = state.embed_sum[role][:, :n]
+        cnt = jnp.maximum(state.embed_cnt[role][:, :n], 1.0)
+        node_embed = emb / cnt[..., None]
+        tok_embed = jnp.einsum("bgn,bnd->bgd", onehot, node_embed,
+                               preferred_element_type=jnp.float32)
+        mem_embed = state.mem[role]
+        d = tok_embed.shape[-1]
+        img_embeds = jnp.concatenate(
+            [jnp.zeros((b, 1, d)), mem_embed[:, None, :], tok_embed], axis=1)
+        return {**base, "gmap_img_embeds": img_embeds}
+
+    def assemble_gmap_base(self, state: EpisodeBatch):
         t = self.t
         env = self.env
         b = state.batch_size
@@ -306,15 +325,6 @@ class Rollout:
         # ride the MXU instead of serializing
         onehot = jax.nn.one_hot(jnp.where(token_valid, token_node, -1), n,
                                 dtype=jnp.float32)            # [B, G-2, N]
-        emb = state.embed_sum[role][:, :n]
-        cnt = jnp.maximum(state.embed_cnt[role][:, :n], 1.0)
-        node_embed = emb / cnt[..., None]
-        tok_embed = jnp.einsum("bgn,bnd->bgd", onehot, node_embed,
-                               preferred_element_type=jnp.float32)
-        mem_embed = state.mem[role]
-        d = tok_embed.shape[-1]
-        img_embeds = jnp.concatenate(
-            [jnp.zeros((b, 1, d)), mem_embed[:, None, :], tok_embed], axis=1)
 
         cur_pos = t.positions[state.scan, state.cur]          # [B, 3]
         pos_b = t.positions[state.scan]                       # [B, N, 3]
@@ -353,23 +363,27 @@ class Rollout:
 
         no_vp_left = ~((observed & ~state.visited[:, :n]).any(axis=1))
         return {
-            "gmap_img_embeds": img_embeds, "gmap_step_ids": step_ids,
+            "gmap_step_ids": step_ids,
             "gmap_pos_fts": pos_fts, "gmap_masks": gmap_masks,
             "gmap_visited_masks": gmap_visited, "gmap_pair_dists": pair_dists,
             "token_node": token_node, "token_valid": token_valid,
-            "no_vp_left": no_vp_left,
+            "token_onehot": onehot, "no_vp_left": no_vp_left,
         }
 
     def assemble_vp(self, state: EpisodeBatch, role: str, pano,
-                    pano_embeds, gmap):
-        t = self.t
+                    pano_embeds, gmap, base=None):
         b = state.batch_size
-        cand_ids, cand_mask = pano["cand_ids"], pano["cand_mask"]
         d = pano_embeds.shape[-1]
-
         mem_embed = state.mem[role]
         vp_img_embeds = jnp.concatenate(
             [jnp.zeros((b, 1, d)), mem_embed[:, None, :], pano_embeds], axis=1)
+        base = base or self.assemble_vp_base(state, pano, gmap)
+        return {**base, "vp_img_embeds": vp_img_embeds}
+
+    def assemble_vp_base(self, state: EpisodeBatch, pano, gmap):
+        t = self.t
+        b = state.batch_size
+        cand_ids, cand_mask = pano["cand_ids"], pano["cand_mask"]
 
         cur_pos = t.positions[state.scan, state.cur]
         start_pos = t.positions[state.scan, state.start]
@@ -389,7 +403,7 @@ class Rollout:
                                   state.heading, state.elevation,
                                   self.cfg.angle_feat_size)
 
-        p2 = vp_img_embeds.shape[1]
+        p2 = pano["pano_masks"].shape[1] + 2
         vp_pos_fts = jnp.zeros((b, p2, 14), jnp.float32)
         vp_pos_fts = vp_pos_fts.at[:, :, :7].set(start7[:, None, :])
         vp_pos_fts = vp_pos_fts.at[:, 2:2 + cand7.shape[1], 7:].set(
@@ -415,7 +429,7 @@ class Rollout:
              jnp.zeros((b, 36))], axis=1)
 
         return {
-            "vp_img_embeds": vp_img_embeds, "vp_pos_fts": vp_pos_fts,
+            "vp_pos_fts": vp_pos_fts,
             "vp_masks": vp_masks, "vp_nav_masks": vp_nav_masks,
             "gmap_local_slot": gmap_local_slot,
             "vp_cand_visited": vp_cand_visited,
@@ -647,12 +661,15 @@ class Rollout:
         return jax.tree_util.tree_map(lambda x: x.mean(0), outs)
 
     def _model_step(self, model, params, role, state, txt_embeds, txt_masks,
-                    rng, deterministic, zd=None, ensemble_n=1):
+                    rng, deterministic, zd=None, ensemble_n=1, shared=None):
         """One model's per-step pipeline: pano forward -> gmap update ->
         input assembly -> navigation forward.  ``zd``: this role's
-        intervention dictionaries (img backdoor + frontdoor features)."""
+        intervention dictionaries (img backdoor + frontdoor features).
+        ``shared``: (pano_inputs, gmap_base, vp_base) computed once per step
+        — the token structure is model-independent, so the dual-model
+        (teacher+student) step assembles it a single time."""
         zd = zd or {}
-        pano = self.assemble_pano(state)
+        pano = shared[0] if shared else self.assemble_pano(state)
         rngs = None if deterministic else {"dropout": rng}
         pano_embeds, pano_fused, img_attns = self._apply_mc(
             model, params, rng, deterministic, ensemble_n,
@@ -665,8 +682,10 @@ class Rollout:
             state, role, pano_embeds.astype(jnp.float32),
             pano_fused.astype(jnp.float32), pano["cand_ids"],
             pano["cand_mask"])
-        gmap = self.assemble_gmap(state, role)
-        vp = self.assemble_vp(state, role, pano, pano_embeds, gmap)
+        gmap = self.assemble_gmap(state, role,
+                                  shared[1] if shared else None)
+        vp = self.assemble_vp(state, role, pano, pano_embeds, gmap,
+                              shared[2] if shared else None)
         outs = self._apply_mc(
             model, params, rng, deterministic, ensemble_n,
             type(model).navigation, txt_embeds, txt_masks,
@@ -791,9 +810,13 @@ class Rollout:
         def step_fn(carry, t_step):
             state, rng, ml_loss, t_ml_loss, kd_acc, t_kd_acc = carry
             rng, k_drop, k_act, k_rw = jax.random.split(rng, 4)
+            pano_shared = self.assemble_pano(state)
+            gmap_base = self.assemble_gmap_base(state)
+            vp_base = self.assemble_vp_base(state, pano_shared, gmap_base)
+            shared = (pano_shared, gmap_base, vp_base)
             state, gmap, outs = self._model_step(
                 model, params, "student", state, txt_embeds, txt_masks,
-                k_drop, deterministic, s_zd, ensemble_n)
+                k_drop, deterministic, s_zd, ensemble_n, shared)
             outs["txt_embeds"], outs["txt_attns"] = txt_embeds, txt_attns
             logits = outs["fused_logits"]
             probs = jax.nn.softmax(logits, axis=-1)
@@ -801,7 +824,8 @@ class Rollout:
             if kdl:
                 state, t_gmap, t_outs = self._model_step(
                     self.teacher_model, teacher_params, "teacher", state,
-                    t_txt_embeds, txt_masks, k_drop, deterministic, t_zd)
+                    t_txt_embeds, txt_masks, k_drop, deterministic, t_zd,
+                    1, shared)
                 t_outs["txt_embeds"] = t_txt_embeds
                 t_outs["txt_attns"] = t_txt_attns
                 t_logits = t_outs["fused_logits"]

@@ -129,7 +129,7 @@ class Trainer:
             mcfg, batch_size=1, txt_len=8,
             pano_len=self.tables.cand_ids.shape[2] + 36,
             gmap_len=self.cfg.env.max_gmap_len)
-        return model.init(rng, batch)
+        return jax.jit(model.init)(rng, batch)
 
     # ------------------------------------------------------------------
 

@@ -59,6 +59,8 @@ class GlocalTextPathCMTPretrain(nn.Module):
         self.bert = DualScaleVLNBert(c, self.dtype)
         self.mlm_head = MLMHead(c, self.dtype)
         self.mrc_head = nn.Dense(self.image_prob_size, dtype=self.dtype)
+        self.og_obj_proj = nn.Dense(c.hidden_size, dtype=self.dtype)
+        self.og_state_proj = nn.Dense(c.hidden_size, dtype=self.dtype)
         self.cfp_txt_pool = nn.Dense(c.hidden_size, dtype=self.dtype)
         self.cfp_gmap_pool = nn.Dense(c.hidden_size, dtype=self.dtype)
         self.cfp_vp_pool = nn.Dense(c.hidden_size, dtype=self.dtype)
@@ -144,6 +146,19 @@ class GlocalTextPathCMTPretrain(nn.Module):
         return {k: outs[k] for k in
                 ("global_logits", "local_logits", "fused_logits")}
 
+    def og(self, batch, deterministic=True):
+        """REVERIE object grounding (OGDataset, pretrain_src/data/
+        tasks.py:455): score candidate objects at the final viewpoint against
+        the fused cross-modal state.  Reduced head — MAGIC's R2R/RxR configs
+        carry no object features (obj_feat_size 0, model config:48) so this
+        exists for capability parity with the REVERIE pathway."""
+        outs = self.encode_path(batch, deterministic)
+        obj = self.og_obj_proj(batch["obj_fts"])           # [B, O, D]
+        state = self.og_state_proj(
+            outs["vp_embeds"][:, 0] + outs["txt_embeds"][:, 0])
+        logits = jnp.einsum("bod,bd->bo", obj, state)
+        return jnp.where(batch["obj_masks"], logits, -1e9)
+
     def cfp(self, batch, deterministic=True):
         """L2-normalized pooled embeddings for the InfoNCE objective and the
         frontdoor dictionaries (validator contract train_r2r_magic.py:537-560)."""
@@ -168,6 +183,8 @@ class GlocalTextPathCMTPretrain(nn.Module):
         mrc_logits = self.mrc(batch, deterministic)
         sap_logits = self.sap(batch, deterministic)
         cfp_embeds = self.cfp(batch, deterministic)
+        if "obj_fts" in batch:
+            self.og(batch, deterministic)
         if self.cfg.kd_heads:
             txt_embeds, _ = self.encode_text(batch, deterministic)
             for head in ("txt_emb_w", "vp_txt_w", "gmap_txt_w",

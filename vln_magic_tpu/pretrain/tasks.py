@@ -285,3 +285,20 @@ class PathDataBuilder:
     def cfp_batch(self, items):
         return self.collate(items, end_steps=[len(it["path_idx"]) - 1
                                               for it in items])
+
+    def og_batch(self, items, num_objects: int = 8, obj_feat_dim: int | None = None,
+                 obj_features=None, obj_labels=None):
+        """Object-grounding batch (OGDataset role).  Real REVERIE object
+        features/labels when provided; deterministic synthetic otherwise."""
+        batch = self.collate(items, end_steps=[len(it["path_idx"]) - 1
+                                               for it in items])
+        B = len(items)
+        d = obj_feat_dim or self.t.feat_dim
+        if obj_features is None:
+            obj_features = self.rng.standard_normal(
+                (B, num_objects, d)).astype(np.float32)
+            obj_labels = self.rng.integers(0, num_objects, B).astype(np.int32)
+        batch["obj_fts"] = obj_features
+        batch["obj_masks"] = np.ones((B, obj_features.shape[1]), bool)
+        batch["og_labels"] = np.asarray(obj_labels, np.int32)
+        return batch

@@ -41,11 +41,11 @@ class PretrainTrainer:
         bk.update(builder_kwargs or {})
         self.builder = PathDataBuilder(world, **bk)
         dummy = self._dummy_batch()
-        self.params = self.model.init(k_s, dummy)
+        self.params = jax.jit(self.model.init)(k_s, dummy)
         if self.kdl:
             self.teacher = GlocalTextPathCMTPretrain(cfg.teacher_model,
                                                      image_prob_size)
-            self.t_params = self.teacher.init(k_t, dummy)
+            self.t_params = jax.jit(self.teacher.init)(k_t, dummy)
         self.opt = optax.chain(
             optax.clip_by_global_norm(cfg.train.grad_clip),
             optax.adamw(cfg.train.lr, weight_decay=cfg.train.weight_decay))
@@ -60,8 +60,10 @@ class PretrainTrainer:
             self.world, 2, np.random.default_rng(0),
             vocab_size=self.cfg.model.vocab_size, min_path=2, max_path=3)
         b = self.builder.mrc_batch(items)
-        ids, labels = b["txt_ids"], np.full_like(b["txt_ids"], -100)
-        b["mlm_labels"] = labels
+        b["mlm_labels"] = np.full_like(b["txt_ids"], -100)
+        og = self.builder.og_batch(items)
+        for k in ("obj_fts", "obj_masks", "og_labels"):
+            b[k] = og[k]
         return {k: jnp.asarray(v) for k, v in b.items()}
 
     # ----- per-task losses -----
@@ -101,6 +103,12 @@ class PretrainTrainer:
                 a = (jnp.argmax(logit, -1) == jnp.maximum(label, 0)) * v
                 accs[f"sap_{name}"] = a.sum() / jnp.maximum(v.sum(), 1)
             return gl + ll + fl, outs["fused_logits"], accs
+        if task == "og":
+            logits = model.apply(params, batch, deterministic=det, rngs=rngs,
+                                 method=type(model).og)
+            loss = sap_loss(logits, batch["og_labels"])
+            acc = (jnp.argmax(logits, -1) == batch["og_labels"]).mean()
+            return loss, logits, {"og_acc": acc}
         if task == "cfp":
             embeds = model.apply(params, batch, deterministic=det, rngs=rngs,
                                  method=type(model).cfp)
