@@ -267,9 +267,10 @@ def train(args, cfg, world, splits):
 
 
 def valid(args, cfg, world, splits):
-    from ..agent.evaluator import submission_format
+    from ..agent.evaluator import Evaluator, submission_format
     from ..agent.navigator import Navigator
     from ..utils.checkpoint import load_torch_checkpoint
+    from ..utils.dist import gather_predictions, is_primary, shard_items
     from ..utils.logging import write_to_record_file
 
     record = os.path.join(args.log_dir, "valid.txt")
@@ -284,7 +285,13 @@ def valid(args, cfg, world, splits):
         if split == "train" or not items:
             continue
         t0 = time.time()
-        (avg, _), preds = nav.evaluate(items)
+        # multi-host: contiguous eval shards per process, predictions merged
+        # over the collective (reference sel_data_idxs + all_gather,
+        # env.py:126-134, main_nav.py:606-607)
+        my_items = shard_items(items)
+        (_, _), preds = nav.evaluate(my_items)
+        preds = gather_predictions(preds)
+        avg, _ = Evaluator(world, items).eval_metrics(preds)
         write_to_record_file(
             f"{split}: {json.dumps({k: round(v, 2) for k, v in avg.items()})} "
             f"(cost time: {time.time() - t0:.1f}s)", record)
