@@ -52,6 +52,43 @@ def build_trajectories(world: World, items, actions, stop_node, final_cur):
     return trajs
 
 
+def build_trajectories_observed(world, items, actions, traj_nodes, traj_len,
+                                stop_node, final_cur):
+    """Parity-mode trajectory assembly from the device-recorded expanded
+    path buffer (observed-subgraph paths).  Segments are recovered by
+    splitting the flat buffer at each action's jump target."""
+    actions = np.asarray(actions)
+    traj_nodes = np.asarray(traj_nodes)
+    traj_len = np.asarray(traj_len)
+    stop_node = np.asarray(stop_node)
+    final_cur = np.asarray(final_cur)
+    T, B = actions.shape
+    trajs = []
+    for b in range(B):
+        item = items[b]
+        flat = traj_nodes[b, : min(traj_len[b], traj_nodes.shape[1])].tolist()
+        targets = [int(actions[t, b]) for t in range(T)
+                   if actions[t, b] >= 0]
+        if int(stop_node[b]) != int(final_cur[b]):
+            targets.append(int(stop_node[b]))
+        segments = [[flat[0]]]
+        i = 1
+        for tgt in targets:
+            j = i
+            while j < len(flat) and flat[j] != tgt:
+                j += 1
+            segments.append(flat[i : min(j + 1, len(flat))] or [tgt])
+            i = j + 1
+        g = world.graphs[item["scan_idx"]]
+        trajs.append({
+            "instr_id": item["instr_id"],
+            "trajectory": [[g.node_ids[k] for k in seg] for seg in segments],
+            "trajectory_idx": segments,
+            "scan_idx": item["scan_idx"],
+        })
+    return trajs
+
+
 def cal_dtw(dist, prediction, reference, success=None, threshold=ERROR_MARGIN):
     """Dynamic-time-warping alignment metrics over node-index paths.
 

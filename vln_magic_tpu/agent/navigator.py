@@ -15,7 +15,8 @@ import numpy as np
 from ..config import EnvConfig, MagicConfig
 from ..env.world import World
 from ..models import DualScaleVLNBert
-from .evaluator import Evaluator, build_trajectories
+from .evaluator import (Evaluator, build_trajectories,
+                        build_trajectories_observed)
 from .rollout import EpisodeBatch, Rollout, Tables, init_episodes
 
 
@@ -36,7 +37,7 @@ def pad_instructions(items, max_len: int, pad_id: int = 1):
 
 
 def episodes_from_items(tables: Tables, world: World, items, model_dims,
-                        max_gt_len: int = 24):
+                        max_gt_len: int = 24, observed_parity: bool = False):
     b = len(items)
     tg = max_gt_len  # fixed shape: TRAIN_MAX_STEP-scale bound (env.py:24)
     scan = np.array([it["scan_idx"] for it in items], np.int32)
@@ -49,7 +50,7 @@ def episodes_from_items(tables: Tables, world: World, items, model_dims,
         gt_path[i, : len(p)] = p
         gt_len[i] = len(p)
     return init_episodes(tables, scan, start, heading, gt_path, gt_len,
-                         model_dims)
+                         model_dims, observed_parity=observed_parity)
 
 
 class Navigator:
@@ -92,8 +93,9 @@ class Navigator:
     def run_items(self, items, feedback="argmax", rng=None, zdicts=None,
                   ensemble_n=1):
         txt_ids, txt_masks = pad_instructions(items, self.cfg.env.max_instr_len)
-        state = episodes_from_items(self.tables, self.world, items,
-                                    self.rollout.model_dims)
+        state = episodes_from_items(
+            self.tables, self.world, items, self.rollout.model_dims,
+            observed_parity=self.cfg.env.observed_graph_parity)
         fn = self._run_fn(feedback, None, True, ensemble_n)
         state, aux = fn(self.params, state, jnp.asarray(txt_ids),
                         jnp.asarray(txt_masks),
@@ -114,8 +116,14 @@ class Navigator:
                 chunk = chunk + [chunk[-1]] * (bs - n_real)
             state, aux = self.run_items(chunk, feedback, zdicts=zdicts,
                                         ensemble_n=ensemble_n)
-            preds.extend(build_trajectories(
-                self.world, chunk, aux["actions"], aux["stop_node"],
-                aux["final_cur"])[:n_real])
+            if self.cfg.env.observed_graph_parity:
+                preds.extend(build_trajectories_observed(
+                    self.world, chunk, aux["actions"], aux["traj_nodes"],
+                    aux["traj_len"], aux["stop_node"],
+                    aux["final_cur"])[:n_real])
+            else:
+                preds.extend(build_trajectories(
+                    self.world, chunk, aux["actions"], aux["stop_node"],
+                    aux["final_cur"])[:n_real])
         ev = Evaluator(self.world, items)
         return ev.eval_metrics(preds), preds

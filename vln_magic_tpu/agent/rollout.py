@@ -95,6 +95,10 @@ class EpisodeBatch:
     aug: jnp.ndarray           # [B] bool — use the aug feature table
     traj_nodes: jnp.ndarray    # [B, TRAJ+1] i32 expanded trajectory (-1 pad)
     traj_len: jnp.ndarray     # [B] i32
+    # observed-subgraph all-pairs distances/hops (GraphMap parity mode);
+    # [B, 1, 1] dummies when the mode is off
+    obs_dist: jnp.ndarray      # [B, N, N] f32
+    obs_steps: jnp.ndarray     # [B, N, N] f32
     ended: jnp.ndarray         # [B] bool
 
     @property
@@ -104,10 +108,62 @@ class EpisodeBatch:
 
 MAX_TRAJ = 96   # expanded-trajectory buffer (bounded by steps x jump hops)
 WALK_HOPS = 32  # next-hop walk bound (>= any scan diameter)
+INF_DIST = 1e9
+
+
+def relax_observed(state: EpisodeBatch, tables: Tables, v, live):
+    """Incremental observed-subgraph all-pairs update (GraphMap parity).
+
+    When node ``v`` becomes the current viewpoint, its edges to its
+    candidates enter the observed graph (GraphMap.update_graph semantics:
+    edges exist iff an endpoint has been visited).  All new edges are
+    incident to ``v``, so a single pivot relaxation through ``v`` keeps the
+    all-pairs matrices exact: d(i,j) = min(d(i,j), d(i,v) + d(v,j)) with
+    d(v,.) first refreshed over the new edges."""
+    t = tables
+    b = state.batch_size
+    n = t.node_mask.shape[1]
+    bi = jnp.arange(b)
+    D, S = state.obs_dist, state.obs_steps
+
+    cand = t.cand_ids[state.scan, v]                        # [B, C]
+    cmask = t.cand_mask[state.scan, v] & live[:, None]
+    w = t.dist[state.scan[:, None], v[:, None], jnp.maximum(cand, 0)]
+    onehot_c = jax.nn.one_hot(jnp.where(cmask, cand, -1), n,
+                              dtype=jnp.float32)            # [B, C, N]
+    rows_c_d = jnp.einsum("bcn,bnm->bcm", onehot_c, D,
+                          preferred_element_type=jnp.float32)
+    rows_c_s = jnp.einsum("bcn,bnm->bcm", onehot_c, S,
+                          preferred_element_type=jnp.float32)
+    big = jnp.float32(INF_DIST)
+    via_d = jnp.where(cmask[..., None], w[..., None] + rows_c_d, big)
+    via_s = jnp.where(cmask[..., None], 1.0 + rows_c_s, big)
+
+    onehot_v = jax.nn.one_hot(v, n, dtype=jnp.float32)      # [B, N]
+    row_v_d = jnp.einsum("bn,bnm->bm", onehot_v, D,
+                         preferred_element_type=jnp.float32)
+    row_v_s = jnp.einsum("bn,bnm->bm", onehot_v, S,
+                         preferred_element_type=jnp.float32)
+    best_c = jnp.argmin(via_d, axis=1)                      # [B, N]
+    min_via_d = jnp.take_along_axis(via_d, best_c[:, None, :], 1)[:, 0]
+    min_via_s = jnp.take_along_axis(via_s, best_c[:, None, :], 1)[:, 0]
+    use_via = min_via_d < row_v_d
+    row_d = jnp.where(use_via, min_via_d, row_v_d)
+    row_s = jnp.where(use_via, min_via_s, row_v_s)
+    row_d = row_d * (1.0 - onehot_v)                        # d(v, v) = 0
+    row_s = row_s * (1.0 - onehot_v)
+
+    new_d = row_d[:, :, None] + row_d[:, None, :]
+    new_s = row_s[:, :, None] + row_s[:, None, :]
+    better = (new_d < D) & live[:, None, None]
+    D2 = jnp.where(better, new_d, D)
+    S2 = jnp.where(better, new_s, S)
+    return state.replace(obs_dist=D2, obs_steps=S2)
 
 
 def init_episodes(tables: Tables, scan_idx, start, heading, gt_path, gt_len,
-                  model_dims: dict[str, int], aug=None) -> EpisodeBatch:
+                  model_dims: dict[str, int], aug=None,
+                  observed_parity: bool = False) -> EpisodeBatch:
     """Start episodes: agent at gt_path[0] with the item's heading, elevation 0
     (reference env.py:394-405), start node + its candidates observed."""
     scan_idx = jnp.asarray(scan_idx, jnp.int32)
@@ -137,11 +193,20 @@ def init_episodes(tables: Tables, scan_idx, start, heading, gt_path, gt_len,
         traj_nodes=jnp.full((b, MAX_TRAJ + 1), -1, jnp.int32)
             .at[:, 0].set(start),
         traj_len=jnp.ones((b,), jnp.int32),
+        obs_dist=(jnp.full((b, n1 - 1, n1 - 1), INF_DIST, jnp.float32)
+                  * (1 - jnp.eye(n1 - 1))) if observed_parity
+                 else jnp.zeros((b, 1, 1), jnp.float32),
+        obs_steps=(jnp.full((b, n1 - 1, n1 - 1), INF_DIST, jnp.float32)
+                   * (1 - jnp.eye(n1 - 1))) if observed_parity
+                  else jnp.zeros((b, 1, 1), jnp.float32),
         ended=jnp.zeros((b,), bool),
     )
     # the start node is immediately "visited" (GraphMap.update_graph marks the
     # current viewpoint visited on arrival)
     state = state.replace(visited=state.visited.at[jnp.arange(b), start].set(True))
+    if observed_parity:
+        state = relax_observed(state, tables, start,
+                               jnp.ones((b,), bool))
     return _observe(state, tables)
 
 
@@ -330,12 +395,19 @@ class Rollout:
         pos_b = t.positions[state.scan]                       # [B, N, 3]
         tok_pos = jnp.einsum("bgn,bnd->bgd", onehot, pos_b,
                              preferred_element_type=jnp.float32)
-        dist_row = t.dist[state.scan, state.cur]              # [B, N]
-        steps_row = t.steps[state.scan, state.cur]
+        parity = self.env.observed_graph_parity
+        onehot_cur = jax.nn.one_hot(state.cur, n, dtype=jnp.float32)
+        if parity:
+            dist_row = jnp.einsum("bn,bnm->bm", onehot_cur, state.obs_dist,
+                                  preferred_element_type=jnp.float32)
+            steps_row = jnp.einsum("bn,bnm->bm", onehot_cur, state.obs_steps,
+                                   preferred_element_type=jnp.float32)
+        else:
+            dist_row = t.dist[state.scan, state.cur]          # [B, N]
+            steps_row = t.steps[state.scan, state.cur].astype(jnp.float32)
         gdist = jnp.einsum("bgn,bn->bg", onehot, dist_row,
                            preferred_element_type=jnp.float32)
-        gsteps = jnp.einsum("bgn,bn->bg", onehot,
-                            steps_row.astype(jnp.float32),
+        gsteps = jnp.einsum("bgn,bn->bg", onehot, steps_row,
                             preferred_element_type=jnp.float32)
         pos7 = gj.pos_features_7(cur_pos[:, None, :], tok_pos, gdist, gsteps,
                                  state.heading, state.elevation,
@@ -353,7 +425,7 @@ class Rollout:
         # TPU point/row gathers of short rows serialize and dominated the
         # whole rollout (2.2x); the one-hot matmul formulation keeps the
         # lookup on the MXU: onehot(tok) @ dist[scan] @ onehot(tok)^T.
-        dist_b = t.dist[state.scan]                           # [B, N, N]
+        dist_b = state.obs_dist if parity else t.dist[state.scan]
         rows = jnp.einsum("bgn,bnm->bgm", onehot, dist_b,
                           preferred_element_type=jnp.float32)
         pair = jnp.einsum("bgm,bhm->bgh", rows, onehot,
@@ -387,18 +459,26 @@ class Rollout:
 
         cur_pos = t.positions[state.scan, state.cur]
         start_pos = t.positions[state.scan, state.start]
-        dist_row = t.dist[state.scan, state.cur]
-        steps_row = t.steps[state.scan, state.cur]
+        if self.env.observed_graph_parity:
+            n = t.node_mask.shape[1]
+            oc = jax.nn.one_hot(state.cur, n, dtype=jnp.float32)
+            dist_row = jnp.einsum("bn,bnm->bm", oc, state.obs_dist,
+                                  preferred_element_type=jnp.float32)
+            steps_row = jnp.einsum("bn,bnm->bm", oc, state.obs_steps,
+                                   preferred_element_type=jnp.float32)
+        else:
+            dist_row = t.dist[state.scan, state.cur]
+            steps_row = t.steps[state.scan, state.cur].astype(jnp.float32)
         start7 = gj.pos_features_7(
             cur_pos[:, None, :], start_pos[:, None, :],
             dist_row[jnp.arange(b), state.start][:, None],
-            steps_row[jnp.arange(b), state.start][:, None].astype(jnp.float32),
+            steps_row[jnp.arange(b), state.start][:, None],
             state.heading, state.elevation, self.cfg.angle_feat_size)[:, 0]
 
         cand_safe = jnp.maximum(cand_ids, 0)
         cand_pos = t.positions[state.scan[:, None], cand_safe]
         cdist = jnp.take_along_axis(dist_row, cand_safe, 1)
-        csteps = jnp.take_along_axis(steps_row, cand_safe, 1).astype(jnp.float32)
+        csteps = jnp.take_along_axis(steps_row, cand_safe, 1)
         cand7 = gj.pos_features_7(cur_pos[:, None, :], cand_pos, cdist, csteps,
                                   state.heading, state.elevation,
                                   self.cfg.angle_feat_size)
@@ -584,20 +664,46 @@ class Rollout:
         # needs it, the expanded trajectory record.  The walk is the only
         # sequential-gather chain left in the step, so it is merged and
         # trajectory writes are gated statically.
-        record_traj = self.env.expert_policy == "ndtw"
+        parity = self.env.observed_graph_parity
+        record_traj = parity or self.env.expert_policy == "ndtw"
         # extract the next-hop column toward each episode's target once
         # (one-hot contraction, MXU); the walk then reads a [B, N] table with
         # a VPU reduce instead of chained point gathers
-        nh_b = t.next_hop[state.scan].astype(jnp.float32)     # [B, N, N]
-        col = jnp.einsum("bnm,bm->bn", nh_b,
-                         jax.nn.one_hot(target, n, dtype=jnp.float32),
-                         preferred_element_type=jnp.float32)
+        onehot_tgt = jax.nn.one_hot(target, n, dtype=jnp.float32)
+        if parity:
+            # greedy next over OBSERVED edges: argmin_c w(p, c) + d_obs(c, t)
+            # — walks an exact observed-subgraph shortest path (the
+            # reference's GraphMap.path)
+            dcol = jnp.einsum("bnm,bm->bn", state.obs_dist, onehot_tgt,
+                              preferred_element_type=jnp.float32)
+        else:
+            nh_b = t.next_hop[state.scan].astype(jnp.float32)  # [B, N, N]
+            col = jnp.einsum("bnm,bm->bn", nh_b, onehot_tgt,
+                             preferred_element_type=jnp.float32)
 
         def walk(_, carry):
             p, prev, nodes, ln = carry
-            nxt = jnp.einsum(
-                "bn,bn->b", col, jax.nn.one_hot(p, n, dtype=jnp.float32),
-                preferred_element_type=jnp.float32).astype(jnp.int32)
+            if parity:
+                cand_p = t.cand_ids[state.scan, p]            # [B, C]
+                cmask_p = t.cand_mask[state.scan, p]
+                w_p = t.dist[state.scan[:, None], p[:, None],
+                             jnp.maximum(cand_p, 0)]
+                vis_p = jnp.take_along_axis(state.visited,
+                                            jnp.maximum(cand_p, 0), 1)
+                on_obs = cmask_p & (state.visited[bi, p][:, None] | vis_p)
+                cost = jnp.where(on_obs,
+                                 w_p + jnp.take_along_axis(
+                                     dcol, jnp.maximum(cand_p, 0), 1),
+                                 jnp.float32(INF_DIST))
+                j = jnp.argmin(cost, axis=1)
+                nxt = jnp.take_along_axis(cand_p, j[:, None], 1)[:, 0]
+                reachable = jnp.take_along_axis(cost, j[:, None], 1)[:, 0] \
+                    < INF_DIST / 2
+                nxt = jnp.where(reachable, nxt, -1)
+            else:
+                nxt = jnp.einsum(
+                    "bn,bn->b", col, jax.nn.one_hot(p, n, dtype=jnp.float32),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
             stepping = moving & (p != target) & (nxt >= 0)
             prev = jnp.where(stepping & (nxt == target), p, prev)
             if record_traj:
@@ -636,6 +742,8 @@ class Rollout:
             visited=visited, step_ids=step_ids, stop_scores=stop_scores,
             traj_nodes=traj_nodes, traj_len=traj_len,
             ended=state.ended | just_ended)
+        if parity:
+            state = relax_observed(state, self.t, new_cur, moving)
         state = _observe(state, self.t)
         chosen = jnp.where(moving, target, -1)
         return state, chosen, just_ended
@@ -924,6 +1032,9 @@ class Rollout:
             "stop_node": self.final_stop_node(state),
             "final_cur": state.cur,
         }
+        if self.env.observed_graph_parity:
+            tn, tl = self._record_backtrack(state, aux["stop_node"])
+            aux["traj_nodes"], aux["traj_len"] = tn, tl
         if train_rl:
             # discounted returns (reverse scan) -> advantage actor-critic
             def disc(g_next, xs):
@@ -942,6 +1053,49 @@ class Rollout:
             aux["rl_loss"] = policy_loss + value_loss
             aux["rl_entropy"] = entropy
         return state, aux
+
+    def _record_backtrack(self, state: EpisodeBatch, stop_node):
+        """Append the stop-score backtrack path (cur -> stop node) to the
+        trajectory buffer over the OBSERVED graph (agent.py:1080-1095's final
+        traj append).  Parity mode only."""
+        t = self.t
+        b = state.batch_size
+        bi = jnp.arange(b)
+        n = t.node_mask.shape[1]
+        moving = stop_node != state.cur
+        dcol = jnp.einsum("bnm,bm->bn", state.obs_dist,
+                          jax.nn.one_hot(stop_node, n, dtype=jnp.float32),
+                          preferred_element_type=jnp.float32)
+
+        def walk(_, carry):
+            p, nodes, ln = carry
+            cand_p = t.cand_ids[state.scan, p]
+            cmask_p = t.cand_mask[state.scan, p]
+            w_p = t.dist[state.scan[:, None], p[:, None],
+                         jnp.maximum(cand_p, 0)]
+            vis_p = jnp.take_along_axis(state.visited,
+                                        jnp.maximum(cand_p, 0), 1)
+            on_obs = cmask_p & (state.visited[bi, p][:, None] | vis_p)
+            cost = jnp.where(on_obs,
+                             w_p + jnp.take_along_axis(
+                                 dcol, jnp.maximum(cand_p, 0), 1),
+                             jnp.float32(INF_DIST))
+            j = jnp.argmin(cost, axis=1)
+            nxt = jnp.take_along_axis(cand_p, j[:, None], 1)[:, 0]
+            ok = jnp.take_along_axis(cost, j[:, None], 1)[:, 0] < INF_DIST / 2
+            stepping = moving & (p != stop_node) & ok
+            wi = jnp.where(stepping, jnp.minimum(ln, MAX_TRAJ),
+                           jnp.full_like(ln, MAX_TRAJ))
+            nodes = nodes.at[bi, wi].set(jnp.where(stepping, nxt,
+                                                   nodes[bi, wi]))
+            ln = ln + stepping.astype(jnp.int32)
+            p = jnp.where(stepping, nxt, p)
+            return p, nodes, ln
+
+        _, tn, tl = jax.lax.fori_loop(
+            0, WALK_HOPS, walk,
+            (state.cur, state.traj_nodes, state.traj_len))
+        return tn, tl
 
     def final_stop_node(self, state: EpisodeBatch):
         """Backtrack target: the visited node with the highest recorded stop

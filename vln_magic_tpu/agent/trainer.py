@@ -253,8 +253,9 @@ class Trainer:
         if self._step_fn is None:
             self._step_fn = self._make_step()
         txt_ids, txt_masks = pad_instructions(items, self.cfg.env.max_instr_len)
-        state0 = episodes_from_items(self.tables, self.world, items,
-                                     self.rollout.model_dims)
+        state0 = episodes_from_items(
+            self.tables, self.world, items, self.rollout.model_dims,
+            observed_parity=self.cfg.env.observed_graph_parity)
         self.rng, k = jax.random.split(self.rng)
         (self.params, self.opt_state, self.critic_params,
          self.critic_opt_state, self.t_params, self.t_opt_state,

@@ -99,6 +99,10 @@ class EnvConfig:
     error_margin: float = 3.0            # success threshold (env.py:21)
     expert_policy: str = "spl"           # spl | ndtw
     dataset: str = "r2r"
+    # exact reference semantics: gmap distances/paths over the incrementally
+    # observed subgraph (GraphMap behavior) instead of precomputed full-graph
+    # tables; costs a [B, N, N] distance matrix in the episode state
+    observed_graph_parity: bool = False
 
 
 @dataclass
