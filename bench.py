@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--pallas", action="store_true", default=False,
                     help="fused pallas attention (wins for many-head models; "
                          "the 2-head MAGIC-S is faster on plain XLA)")
+    ap.add_argument("--parity", action="store_true", default=False,
+                    help="observed-subgraph graph semantics (GraphMap parity)")
+    ap.add_argument("--profile", default=None,
+                    help="capture a jax.profiler trace into this directory")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +71,8 @@ def main():
             use_pallas_attention=args.pallas and not args.smoke,
         ),
         env=EnvConfig(max_action_len=t_steps, max_gmap_len=max_gmap,
-                      max_instr_len=txt_len),
+                      max_instr_len=txt_len,
+                      observed_graph_parity=args.parity),
         train=TrainConfig(batch_size=batch, compute_dtype=args.dtype),
     )
     world = make_synthetic_world(num_scans=scans, nodes_per_scan=nodes,
@@ -82,7 +87,8 @@ def main():
 
     txt_ids, txt_masks = pad_instructions(items, cfg.env.max_instr_len)
     state0 = episodes_from_items(nav.tables, world, items,
-                                 nav.rollout.model_dims)
+                                 nav.rollout.model_dims,
+                                 observed_parity=args.parity)
     fn = nav._run_fn("argmax", None, True)
     key = jax.random.PRNGKey(0)
 
@@ -91,12 +97,16 @@ def main():
              key, {})
     jax.block_until_ready(out)
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(nav.params, state0, jnp.asarray(txt_ids),
                  jnp.asarray(txt_masks), key, {})
     jax.block_until_ready(out)
     wall = time.perf_counter() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
 
     nav_steps = batch * t_steps * iters
     sps = nav_steps / wall

@@ -280,26 +280,42 @@ def valid(args, cfg, world, splits):
             args.resume_file, template=nav.params)
         write_to_record_file(f"loaded {args.resume_file} (epoch {epoch})",
                              record)
-    results = {}
-    for split, items in splits.items():
-        if split == "train" or not items:
-            continue
-        t0 = time.time()
-        # multi-host: contiguous eval shards per process, predictions merged
-        # over the collective (reference sel_data_idxs + all_gather,
-        # env.py:126-134, main_nav.py:606-607)
-        my_items = shard_items(items)
-        (_, _), preds = nav.evaluate(my_items)
-        preds = gather_predictions(preds)
-        avg, _ = Evaluator(world, items).eval_metrics(preds)
-        write_to_record_file(
-            f"{split}: {json.dumps({k: round(v, 2) for k, v in avg.items()})} "
-            f"(cost time: {time.time() - t0:.1f}s)", record)
-        results[split] = avg
-        if args.submit:
-            with open(os.path.join(args.pred_dir, f"submit_{split}.json"),
-                      "w") as f:
-                json.dump(submission_format(preds), f)
+    def eval_model(tag, navigator):
+        out = {}
+        for split, items in splits.items():
+            if split == "train" or not items:
+                continue
+            t0 = time.time()
+            # multi-host: contiguous eval shards per process, predictions
+            # merged over the collective (reference sel_data_idxs +
+            # all_gather, env.py:126-134, main_nav.py:606-607)
+            my_items = shard_items(items)
+            (_, _), preds = navigator.evaluate(my_items)
+            preds = gather_predictions(preds)
+            avg, _ = Evaluator(world, items).eval_metrics(preds)
+            write_to_record_file(
+                f"{tag}{split}: "
+                f"{json.dumps({k: round(v, 2) for k, v in avg.items()})} "
+                f"(cost time: {time.time() - t0:.1f}s)", record)
+            out[split] = avg
+            if args.submit and tag == "":
+                with open(os.path.join(args.pred_dir,
+                                       f"submit_{split}.json"), "w") as f:
+                    json.dump(submission_format(preds), f)
+        return out
+
+    results = eval_model("", nav)
+    # the reference also validates the teacher model (main_nav.py:624-667)
+    if args.train_kdl and args.teacher_resume_file and cfg.teacher_model:
+        import dataclasses
+
+        t_cfg = dataclasses.replace(cfg, model=cfg.teacher_model)
+        t_nav = Navigator(t_cfg, world)
+        t_nav.params, _, _, _ = load_torch_checkpoint(
+            args.teacher_resume_file, template=t_nav.params,
+            drop_kd_heads=True)
+        results.update({f"teacher_{k}": v
+                        for k, v in eval_model("teacher ", t_nav).items()})
     return results
 
 

@@ -177,18 +177,25 @@ class PretrainTrainer:
         return {k2: float(v) for k2, v in metrics.items()}
 
     def fit(self, items, iters, task_ratios=None, batch_size=None,
-            callback=None):
+            callback=None, prefetch: int = 2):
         bs = batch_size or self.cfg.train.batch_size
         sampler = ItemSampler(items, bs, self.cfg.train.seed)
         loader = MetaLoader({
-            "mlm": lambda: self.builder.mlm_batch(sampler.next_batch()),
-            "sap": lambda: self.builder.sap_batch(sampler.next_batch()),
-            "cfp": lambda: self.builder.cfp_batch(sampler.next_batch()),
+            "mlm": lambda: self._fill("mlm",
+                                      self.builder.mlm_batch(sampler.next_batch())),
+            "sap": lambda: self._fill("sap",
+                                      self.builder.sap_batch(sampler.next_batch())),
+            "cfp": lambda: self._fill("cfp",
+                                      self.builder.cfp_batch(sampler.next_batch())),
         }, ratios=task_ratios or {"mlm": 1, "sap": 1, "cfp": 1},
             seed=self.cfg.train.seed)
+        # host->device overlap: batch N+1 transfers while step N runs
+        from .loader import PrefetchLoader
+
+        stream = PrefetchLoader(loader, depth=prefetch)
         history = []
-        for i, (task, batch) in zip(range(iters), loader):
-            m = self.train_step(task, self._fill(task, batch))
+        for i, (task, batch) in zip(range(iters), stream):
+            m = self.train_step(task, batch)
             m["task"] = task
             history.append(m)
             if callback:
