@@ -122,3 +122,34 @@ def test_expert_action_is_optimal(setup):
                     costs.append((g.dist[cur, n] + g.dist[n, goal], j + 2))
         best = min(costs)[1]
         assert a[b] == best
+
+
+def test_envedit_aug_feature_selection(setup):
+    """Episodes flagged aug must see the alternate feature table."""
+    from vln_magic_tpu.agent.rollout import Tables, init_episodes
+    import vln_magic_tpu.agent.navigator as N
+
+    world, cfg, nav, items = setup
+    aug_feats = np.asarray(world.tables.features) * 0.0 + 7.0
+    tables = Tables.from_world(world.tables, aug_features=aug_feats)
+    roll = type(nav.rollout)(tables, cfg.env, nav.model)
+    chunk = items[:4]
+    tg = 24
+    scan = np.array([it["scan_idx"] for it in chunk], np.int32)
+    start = np.array([it["path_idx"][0] for it in chunk], np.int32)
+    heading = np.zeros(4, np.float32)
+    gt = np.full((4, tg), -1, np.int32)
+    gl = np.zeros(4, np.int32)
+    for i, it in enumerate(chunk):
+        p = np.asarray(it["path_idx"])
+        gt[i, : len(p)] = p
+        gl[i] = len(p)
+    aug = np.array([True, False, True, False])
+    state = init_episodes(tables, scan, start, heading, gt, gl,
+                          roll.model_dims, aug=aug)
+    pano = roll.assemble_pano(state)
+    fts = np.asarray(pano["view_img_fts"])
+    # aug episodes see the constant-7 table; normal episodes don't
+    assert (np.abs(fts[0][np.asarray(pano["pano_masks"][0])] - 7.0) < 1e-6).all()
+    assert not (np.abs(fts[1][np.asarray(pano["pano_masks"][1])] - 7.0) < 1e-6).all()
+    assert (np.abs(fts[2][np.asarray(pano["pano_masks"][2])] - 7.0) < 1e-6).all()

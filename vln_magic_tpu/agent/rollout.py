@@ -51,6 +51,7 @@ class Tables:
     steps: jnp.ndarray
     next_hop: jnp.ndarray
     cand_ids: jnp.ndarray
+    cand_dist: jnp.ndarray
     cand_view: jnp.ndarray
     cand_heading: jnp.ndarray
     cand_elevation: jnp.ndarray
@@ -64,8 +65,8 @@ class Tables:
     def from_world(cls, t: WorldTables, aug_features=None) -> "Tables":
         return cls(**{f: jnp.asarray(getattr(t, f)) for f in (
             "node_mask", "positions", "dist", "steps", "next_hop", "cand_ids",
-            "cand_view", "cand_heading", "cand_elevation", "cand_mask",
-            "features")},
+            "cand_dist", "cand_view", "cand_heading", "cand_elevation",
+            "cand_mask", "features")},
             aug_features=None if aug_features is None
             else jnp.asarray(aug_features))
 
@@ -676,6 +677,7 @@ class Rollout:
             # reference's GraphMap.path)
             dcol = jnp.einsum("bnm,bm->bn", state.obs_dist, onehot_tgt,
                               preferred_element_type=jnp.float32)
+            wt = self._observed_walk_tables(state)
         else:
             nh_b = t.next_hop[state.scan].astype(jnp.float32)  # [B, N, N]
             col = jnp.einsum("bnm,bm->bn", nh_b, onehot_tgt,
@@ -684,22 +686,8 @@ class Rollout:
         def walk(_, carry):
             p, prev, nodes, ln = carry
             if parity:
-                cand_p = t.cand_ids[state.scan, p]            # [B, C]
-                cmask_p = t.cand_mask[state.scan, p]
-                w_p = t.dist[state.scan[:, None], p[:, None],
-                             jnp.maximum(cand_p, 0)]
-                vis_p = jnp.take_along_axis(state.visited,
-                                            jnp.maximum(cand_p, 0), 1)
-                on_obs = cmask_p & (state.visited[bi, p][:, None] | vis_p)
-                cost = jnp.where(on_obs,
-                                 w_p + jnp.take_along_axis(
-                                     dcol, jnp.maximum(cand_p, 0), 1),
-                                 jnp.float32(INF_DIST))
-                j = jnp.argmin(cost, axis=1)
-                nxt = jnp.take_along_axis(cand_p, j[:, None], 1)[:, 0]
-                reachable = jnp.take_along_axis(cost, j[:, None], 1)[:, 0] \
-                    < INF_DIST / 2
-                nxt = jnp.where(reachable, nxt, -1)
+                nxt, ok = self._observed_next(state, wt, p, dcol)
+                nxt = jnp.where(ok, nxt, -1)
             else:
                 nxt = jnp.einsum(
                     "bn,bn->b", col, jax.nn.one_hot(p, n, dtype=jnp.float32),
@@ -1054,6 +1042,46 @@ class Rollout:
             aux["rl_entropy"] = entropy
         return state, aux
 
+
+    def _observed_walk_tables(self, state: EpisodeBatch):
+        """Hoisted per-transition tables for observed-graph walks: candidate
+        ids / edge lengths / masks / visited flags as [B, N, C] floats so the
+        per-iteration row select is a one-hot contraction (point gathers
+        inside the walk loop serialize)."""
+        t = self.t
+        b = state.batch_size
+        n = t.node_mask.shape[1]
+        cand_all = t.cand_ids[state.scan].astype(jnp.float32)    # [B, N, C]
+        w_all = t.cand_dist[state.scan]
+        cmask_all = t.cand_mask[state.scan].astype(jnp.float32)
+        c = cand_all.shape[2]
+        idx = jnp.maximum(t.cand_ids[state.scan], 0).reshape(b, n * c)
+        vis_all = jnp.take_along_axis(
+            state.visited.astype(jnp.float32), idx, axis=1).reshape(b, n, c)
+        return {"cand": cand_all, "w": w_all, "cmask": cmask_all,
+                "vis": vis_all, "n": n}
+
+    @staticmethod
+    def _observed_next(state, wt, p, dcol):
+        """Greedy next node on the observed shortest path toward the target
+        whose obs-distance column is ``dcol``; returns (next_node, valid)."""
+        onehot_p = jax.nn.one_hot(p, wt["n"], dtype=jnp.float32)
+        row = lambda x: jnp.einsum("bn,bnc->bc", onehot_p, x,
+                                   preferred_element_type=jnp.float32)
+        cand_row = row(wt["cand"]).astype(jnp.int32)
+        w_row = row(wt["w"])
+        on_obs = (row(wt["cmask"]) > 0.5) & (
+            (row(wt["vis"]) > 0.5)
+            | state.visited[jnp.arange(p.shape[0]), p][:, None])
+        cost = jnp.where(on_obs,
+                         w_row + jnp.take_along_axis(
+                             dcol, jnp.maximum(cand_row, 0), 1),
+                         jnp.float32(INF_DIST))
+        j = jnp.argmin(cost, axis=1)
+        nxt = jnp.take_along_axis(cand_row, j[:, None], 1)[:, 0]
+        ok = jnp.take_along_axis(cost, j[:, None], 1)[:, 0] < INF_DIST / 2
+        return nxt, ok
+
     def _record_backtrack(self, state: EpisodeBatch, stop_node):
         """Append the stop-score backtrack path (cur -> stop node) to the
         trajectory buffer over the OBSERVED graph (agent.py:1080-1095's final
@@ -1066,23 +1094,11 @@ class Rollout:
         dcol = jnp.einsum("bnm,bm->bn", state.obs_dist,
                           jax.nn.one_hot(stop_node, n, dtype=jnp.float32),
                           preferred_element_type=jnp.float32)
+        wt = self._observed_walk_tables(state)
 
         def walk(_, carry):
             p, nodes, ln = carry
-            cand_p = t.cand_ids[state.scan, p]
-            cmask_p = t.cand_mask[state.scan, p]
-            w_p = t.dist[state.scan[:, None], p[:, None],
-                         jnp.maximum(cand_p, 0)]
-            vis_p = jnp.take_along_axis(state.visited,
-                                        jnp.maximum(cand_p, 0), 1)
-            on_obs = cmask_p & (state.visited[bi, p][:, None] | vis_p)
-            cost = jnp.where(on_obs,
-                             w_p + jnp.take_along_axis(
-                                 dcol, jnp.maximum(cand_p, 0), 1),
-                             jnp.float32(INF_DIST))
-            j = jnp.argmin(cost, axis=1)
-            nxt = jnp.take_along_axis(cand_p, j[:, None], 1)[:, 0]
-            ok = jnp.take_along_axis(cost, j[:, None], 1)[:, 0] < INF_DIST / 2
+            nxt, ok = self._observed_next(state, wt, p, dcol)
             stepping = moving & (p != stop_node) & ok
             wi = jnp.where(stepping, jnp.minimum(ln, MAX_TRAJ),
                            jnp.full_like(ln, MAX_TRAJ))

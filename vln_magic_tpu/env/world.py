@@ -35,6 +35,7 @@ class WorldTables:
     steps: np.ndarray           # (S, N, N) i32 shortest-path hop count
     next_hop: np.ndarray        # (S, N, N) i32 next node on shortest path
     cand_ids: np.ndarray        # (S, N, C) i32 neighbor node index, -1 pad
+    cand_dist: np.ndarray       # (S, N, C) f32 edge length to the neighbor
     cand_view: np.ndarray       # (S, N, C) i32 discretized view of the neighbor
     cand_heading: np.ndarray    # (S, N, C) f32 absolute heading to neighbor
     cand_elevation: np.ndarray  # (S, N, C) f32 absolute elevation to neighbor
@@ -87,6 +88,7 @@ class World:
         steps = np.full((s, n, n), -1, dtype=np.int32)
         next_hop = np.full((s, n, n), -1, dtype=np.int32)
         cand_ids = np.full((s, n, c), -1, dtype=np.int32)
+        cand_dist = np.zeros((s, n, c), dtype=np.float32)
         cand_view = np.zeros((s, n, c), dtype=np.int32)
         cand_heading = np.zeros((s, n, c), dtype=np.float32)
         cand_elevation = np.zeros((s, n, c), dtype=np.float32)
@@ -107,6 +109,7 @@ class World:
                 view = nearest_view_index(h, e)
                 m = len(nbrs)
                 cand_ids[si, i, :m] = nbrs
+                cand_dist[si, i, :m] = g.edge_dist[i, nbrs]
                 cand_view[si, i, :m] = view
                 cand_heading[si, i, :m] = h
                 cand_elevation[si, i, :m] = e
@@ -114,7 +117,8 @@ class World:
 
         self.tables = WorldTables(
             node_mask=node_mask, positions=positions, dist=dist, steps=steps,
-            next_hop=next_hop, cand_ids=cand_ids, cand_view=cand_view,
+            next_hop=next_hop, cand_ids=cand_ids, cand_dist=cand_dist,
+            cand_view=cand_view,
             cand_heading=cand_heading, cand_elevation=cand_elevation,
             cand_mask=cand_ids >= 0, features=features,
         )
