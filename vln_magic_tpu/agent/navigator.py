@@ -6,18 +6,16 @@ greedy evaluation; training lives in agent/trainer.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import EnvConfig, MagicConfig
+from ..config import MagicConfig
 from ..env.world import World
 from ..models import DualScaleVLNBert
 from .evaluator import (Evaluator, build_trajectories,
                         build_trajectories_observed)
-from .rollout import EpisodeBatch, Rollout, Tables, init_episodes
+from .rollout import Rollout, Tables, init_episodes
 
 
 def pad_instructions(items, max_len: int, pad_id: int = 1):

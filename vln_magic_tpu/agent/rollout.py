@@ -25,9 +25,6 @@ crosses unobserved territory.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 from flax import struct

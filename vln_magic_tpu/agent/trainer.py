@@ -12,8 +12,6 @@ and two optimizers (student at lr, teacher at t_lr).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +22,7 @@ from ..env.world import World
 from ..models import Critic, DualScaleVLNBert
 from .distill import total_kd_loss
 from .navigator import episodes_from_items, pad_instructions
-from .rollout import Rollout, Tables, init_episodes
+from .rollout import Rollout, Tables
 
 
 def make_lr_schedule(cfg) -> optax.Schedule:
