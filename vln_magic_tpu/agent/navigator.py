@@ -102,7 +102,7 @@ class Navigator:
         return state, aux
 
     def evaluate(self, items, feedback="argmax", batch_size=None,
-                 zdicts=None, ensemble_n=1):
+                 zdicts=None, ensemble_n=1, detailed_output=False):
         """Greedy decode + metrics over an item list (the reference's
         valid() loop, main_nav.py:561-667, without the process boundary)."""
         bs = batch_size or self.cfg.train.batch_size
@@ -115,13 +115,24 @@ class Navigator:
             state, aux = self.run_items(chunk, feedback, zdicts=zdicts,
                                         ensemble_n=ensemble_n)
             if self.cfg.env.observed_graph_parity:
-                preds.extend(build_trajectories_observed(
+                chunk_preds = build_trajectories_observed(
                     self.world, chunk, aux["actions"], aux["traj_nodes"],
                     aux["traj_len"], aux["stop_node"],
-                    aux["final_cur"])[:n_real])
+                    aux["final_cur"])[:n_real]
             else:
-                preds.extend(build_trajectories(
+                chunk_preds = build_trajectories(
                     self.world, chunk, aux["actions"], aux["stop_node"],
-                    aux["final_cur"])[:n_real])
+                    aux["final_cur"])[:n_real]
+            if detailed_output:
+                # per-node stop probabilities (reference --detailed_output,
+                # agent.py:1091-1095)
+                scores = np.asarray(state.stop_scores)
+                for b, p in enumerate(chunk_preds):
+                    g = self.world.graphs[p["scan_idx"]]
+                    p["details"] = {
+                        g.node_ids[i]: {"stop_prob": float(scores[b, i])}
+                        for i in np.flatnonzero(
+                            scores[b, : g.num_nodes] > -1e8)}
+            preds.extend(chunk_preds)
         ev = Evaluator(self.world, items)
         return ev.eval_metrics(preds), preds

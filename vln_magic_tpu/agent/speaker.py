@@ -213,13 +213,26 @@ class Speaker:
         refs = [tok.encode(it["instruction"], self.L)[1:-1] for it in items]
         return bleu_score(hyps, refs)
 
-    def back_translate(self, items, tok: SpeakerTokenizer, rng=None):
+    def back_translate(self, items, tok: SpeakerTokenizer, rng=None,
+                       beam: int = 0):
         """Replace instructions with speaker generations under feature
         dropout noise (the rollout's self-train path, agent.py:737-752).
+        ``beam > 1`` uses beam search and keeps the best hypothesis.
         Returns new item dicts with regenerated instruction text."""
         nprng = np.random.default_rng(0 if rng is None else rng)
         noise = self.drop_env_noise(nprng)
-        tokens = self.infer_batch(items, tok, noise=noise)
+        if beam and beam > 1:
+            from ..models.speaker import beam_decode
+
+            cand, pano, masks = self.path_features(items, noise=noise)
+            import jax.numpy as jnp
+
+            toks, _ = beam_decode(self.model, self.params, jnp.asarray(cand),
+                                  jnp.asarray(pano), jnp.asarray(masks),
+                                  self.L, tok.BOS, tok.EOS, beam=beam)
+            tokens = np.asarray(toks[:, 0])
+        else:
+            tokens = self.infer_batch(items, tok, noise=noise)
         out = []
         for it, row in zip(items, tokens):
             new = dict(it)
