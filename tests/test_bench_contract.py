@@ -1,0 +1,31 @@
+"""Driver contract: bench.py must print exactly one JSON line with the agreed
+schema, and __graft_entry__ must expose entry()/dryrun_multichip."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_smoke_json_contract():
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--smoke", "--batch", "2", "--iters", "1"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["metric"] == "nav_steps_per_sec_per_chip"
+    assert rec["value"] > 0 and rec["vs_baseline"] > 0
+
+
+def test_graft_entry_exports():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    assert callable(g.entry)
+    assert callable(g.dryrun_multichip)
