@@ -29,3 +29,23 @@ def test_graft_entry_exports():
 
     assert callable(g.entry)
     assert callable(g.dryrun_multichip)
+
+
+def test_dryrun_multichip_driver_shape():
+    """Run dryrun_multichip(8) exactly as the driver does: import the module
+    in a fresh process (JAX_PLATFORMS still pinned to the TPU platform, no
+    XLA_FLAGS device-count override) and call the function directly.  The
+    function itself must force the 8-device virtual CPU mesh — round 1
+    shipped with the forcing only under __main__ and the driver check failed
+    (MULTICHIP_r01.json ok=false)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"  # simulate the pinned env var
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "dryrun_multichip OK" in out.stdout, out.stdout
