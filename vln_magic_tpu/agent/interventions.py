@@ -100,20 +100,25 @@ class Zdict:
 
 
 def update_backdoor_dict(navigator, items, picker: WordPicker,
-                         batch_size: int = 64, max_entries: int = 81):
+                         batch_size: int = 64, max_entries: int = 81,
+                         lang_fn=None):
     """Rebuild the instruction z-dict from the current model — the
     reference's ``update_z_dict`` (agent.py:1162-1304).
 
     Runs the language encoder over all training instructions, mean-pools
     token embeddings per landmark/direction word, and derives p(z) from
     occurrence counts.  Returns {'direction': Zdict, 'landmark': Zdict}.
+
+    ``lang_fn(params, ids, mask)``: pass a pre-jitted language forward to
+    reuse its compile cache across periodic refreshes (a fresh ``jax.jit``
+    per refresh recompiles each time — 20-40 s on TPU).
     """
     from .navigator import pad_instructions
 
     sums = {"landmark": {}, "direction": {}}
     counts = {"landmark": {}, "direction": {}}
 
-    lang = jax.jit(lambda p, ids, mask: navigator.model.apply(
+    lang = lang_fn or jax.jit(lambda p, ids, mask: navigator.model.apply(
         p, ids, mask, method=type(navigator.model).language))
 
     for i in range(0, len(items), batch_size):
@@ -148,6 +153,41 @@ def update_backdoor_dict(navigator, items, picker: WordPicker,
         feats = np.stack([sums[kind][w] / counts[kind][w] for w in ws])
         pzs = np.array([counts[kind][w] / total for w in ws])
         out[kind] = Zdict(feats, pzs, ws)
+    return out
+
+
+def build_rollout_zdicts(backdoor=None, front=None, pad_entries: int = 0):
+    """Package one role's backdoor Zdicts + frontdoor family features into
+    the structure ``Rollout.run(zdicts={role: ...})`` consumes (the
+    reference's get_front_variable / _language_variable z plumbing,
+    agent.py:43-90,767-791).
+
+    ``pad_entries`` pads the backdoor feature tables to a fixed row count so
+    periodic refreshes never change array shapes (a shape change would
+    retrace the jitted train step).  Padded rows carry p(z)=0, which the
+    model's log-prior attention bias suppresses (models/vlnbert.py
+    ZdictAttention)."""
+    out = {}
+    if backdoor:
+        def padded(z: Zdict):
+            f, p = z.features, z.pzs
+            if pad_entries and len(f) < pad_entries:
+                extra = pad_entries - len(f)
+                f = np.concatenate(
+                    [f, np.zeros((extra, f.shape[1]), np.float32)])
+                p = np.concatenate([p, np.zeros((extra, 1), np.float32)])
+            return f[:pad_entries or None], p[:pad_entries or None]
+
+        dzf, dzp = padded(backdoor["direction"])
+        lzf, lzp = padded(backdoor["landmark"])
+        out["instr_zdict"] = {
+            "direction_features": dzf, "direction_pzs": dzp,
+            "landmark_features": lzf, "landmark_pzs": lzp,
+        }
+    if front:
+        out["front_txt_feats"] = front["txt"]
+        out["front_vp_feats"] = front["vp"]
+        out["front_gmap_feats"] = front["gmap"]
     return out
 
 

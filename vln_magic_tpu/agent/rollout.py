@@ -180,7 +180,10 @@ def init_episodes(tables: Tables, scan_idx, start, heading, gt_path, gt_len,
         visited=jnp.zeros((b, n1), bool),
         obs_order=jnp.full((b, n1), UNOBS, jnp.int32),
         obs_count=jnp.zeros((b,), jnp.int32),
-        step_ids=jnp.zeros((b, n1), jnp.int32),
+        # the start node carries step id 1 from the outset (the rollout
+        # re-stamps cur=t_step+1 at the top of every step; stamping here too
+        # keeps states assembled outside the scan consistent)
+        step_ids=jnp.zeros((b, n1), jnp.int32).at[jnp.arange(b), start].set(1),
         stop_scores=jnp.full((b, n1), NEG_INF, jnp.float32),
         embed_sum={r: jnp.zeros((b, n1, d), jnp.float32)
                    for r, d in model_dims.items()},
@@ -530,7 +533,13 @@ class Rollout:
             stop = t_step >= (state.gt_len - 1)
             eq = (token_node == goal_vp[:, None]) & gmap["token_valid"]
             idx = 2 + eq.argmax(axis=1).astype(jnp.int32)
-            a = jnp.where(stop | ~eq.any(axis=1), 0, idx)
+            # gt next hop absent from the token set (gmap budget overflow
+            # truncated it away) -> ignore_id, NOT stop: emitting 0 would both
+            # corrupt the IL target and end the teacher-forced episode.  The
+            # reference never truncates (it pads to the batch max); overflow
+            # is surfaced via aux["gmap_overflow"] in run().
+            a = jnp.where(stop, 0,
+                          jnp.where(eq.any(axis=1), idx, env.ignore_id))
         else:
             visited_tok = jnp.take_along_axis(
                 state.visited[:, : self.t.node_mask.shape[1]], token_node, 1)
@@ -717,14 +726,10 @@ class Rollout:
 
         new_cur = jnp.where(moving, target, state.cur)
         visited = state.visited.at[bi, jnp.where(moving, new_cur, trash)].set(True)
-        # step id assigned when the node becomes current (agent.py:873-875 sets
-        # it at the top of step t for the current node)
-        step_ids = state.step_ids.at[bi, jnp.where(live, state.cur, trash)].set(
-            jnp.where(live, t_step + 1, 0))
 
         state = state.replace(
             cur=new_cur, heading=new_heading, elevation=new_elevation,
-            visited=visited, step_ids=step_ids, stop_scores=stop_scores,
+            visited=visited, stop_scores=stop_scores,
             traj_nodes=traj_nodes, traj_len=traj_len,
             ended=state.ended | just_ended)
         if parity:
@@ -903,6 +908,17 @@ class Rollout:
         def step_fn(carry, t_step):
             state, rng, ml_loss, t_ml_loss, kd_acc, t_kd_acc = carry
             rng, k_drop, k_act, k_rw = jax.random.split(rng, 4)
+            # stamp the current node's step id at the TOP of step t, before
+            # any forward (agent.py:873-875 sets node_step_ids[cur]=t+1 ahead
+            # of the navigation forward; the pretrain builder counts the
+            # current node the same way, pretrain/tasks.py)
+            bi_ = jnp.arange(state.batch_size)
+            live0 = ~state.ended
+            trash0 = self.t.node_mask.shape[1]
+            state = state.replace(step_ids=state.step_ids.at[
+                bi_, jnp.where(live0, state.cur, trash0)].set(
+                jnp.where(live0, t_step + 1,
+                          state.step_ids[bi_, trash0])))
             pano_shared = self.assemble_pano(state)
             gmap_base = self.assemble_gmap_base(state)
             vp_base = self.assemble_vp_base(state, pano_shared, gmap_base)
@@ -1016,6 +1032,11 @@ class Rollout:
             "t_kd_losses": t_kd_acc,
             "stop_node": self.final_stop_node(state),
             "final_cur": state.cur,
+            # episodes whose observed-node count exceeded the gmap token
+            # budget at any point (tokens silently truncated; raise
+            # env.max_gmap_len / --max_gmap_len if this is ever nonzero)
+            "gmap_overflow": (state.obs_count
+                              > self.env.max_gmap_len - 2).sum(),
         }
         if self.env.observed_graph_parity:
             tn, tl = self._record_backtrack(state, aux["stop_node"])

@@ -119,6 +119,13 @@ class Trainer:
         self.ability_grads = np.zeros(5, np.float32)
         self.iteration = 0
         self.logs = {}
+        # persistent data-order rng: fit() draws fresh permutations from this
+        # across calls instead of replaying the same prefix every interval
+        self._data_rng = np.random.default_rng(cfg.train.seed)
+        # intervention dictionaries threaded into every training rollout
+        # (refreshed by the orchestrator every update_iter / on new-best,
+        # main_nav.py:218-222,439-444,488-494); {} disables them
+        self.zdicts: dict = {}
 
     def _init(self, model, mcfg, rng):
         from ..models.vlnbert import dummy_step_batch
@@ -132,13 +139,15 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _loss_for_rollout(self, params, t_params, state0, txt_ids, txt_masks,
-                          feedback, train_ml, rng, ability_grads=None):
+                          feedback, train_ml, rng, ability_grads=None,
+                          zdicts=None):
         c = self.cfg
         d = c.distill if self.kdl else None
         _, aux = self.rollout.run(
             params, state0, txt_ids, txt_masks, feedback, rng,
             train_ml=train_ml, deterministic=False,
-            teacher_params=t_params, distill=d, ability_grads=ability_grads)
+            teacher_params=t_params, distill=d, ability_grads=ability_grads,
+            zdicts=zdicts)
         bs = state0.batch_size
         ml = aux["ml_loss"] * train_ml / bs
         metrics = {"ml_loss": ml}
@@ -164,7 +173,7 @@ class Trainer:
         rl = alg not in ("imitation", "dagger")   # the reference's A2C branch
 
         def loss_fn(params, critic_params, t_params, state0, txt_ids,
-                    txt_masks, rng, ability_grads):
+                    txt_masks, rng, ability_grads, zdicts):
             k1, k2 = jax.random.split(rng)
             total = jnp.zeros(())
             t_total = jnp.zeros(())
@@ -172,7 +181,7 @@ class Trainer:
             if alg == "imitation":
                 l, tl, m = self._loss_for_rollout(
                     params, t_params, state0, txt_ids, txt_masks,
-                    "teacher", 1.0, k1, ability_grads)
+                    "teacher", 1.0, k1, ability_grads, zdicts)
                 total, t_total = total + l, t_total + tl
                 metrics.update({f"il/{k}": v for k, v in m.items()})
             elif alg == "dagger":
@@ -180,12 +189,13 @@ class Trainer:
                 if c.train.ml_weight != 0:
                     l, tl, m = self._loss_for_rollout(
                         params, t_params, state0, txt_ids, txt_masks,
-                        "teacher", c.train.ml_weight, k1, ability_grads)
+                        "teacher", c.train.ml_weight, k1, ability_grads,
+                        zdicts)
                     total, t_total = total + l, t_total + tl
                     metrics.update({f"il/{k}": v for k, v in m.items()})
                 l, tl, m = self._loss_for_rollout(
                     params, t_params, state0, txt_ids, txt_masks,
-                    c.train.dagger_sample, 1.0, k2, ability_grads)
+                    c.train.dagger_sample, 1.0, k2, ability_grads, zdicts)
                 total, t_total = total + l, t_total + tl
                 metrics.update({f"dagger/{k}": v for k, v in m.items()})
             else:
@@ -195,14 +205,16 @@ class Trainer:
                 if c.train.ml_weight != 0:
                     l, tl, m = self._loss_for_rollout(
                         params, t_params, state0, txt_ids, txt_masks,
-                        "teacher", c.train.ml_weight, k1, ability_grads)
+                        "teacher", c.train.ml_weight, k1, ability_grads,
+                        zdicts)
                     total, t_total = total + l, t_total + tl
                     metrics.update({f"il/{k}": v for k, v in m.items()})
                 _, aux = self.rollout.run(
                     params, state0, txt_ids, txt_masks, "sample", k2,
                     train_ml=None, deterministic=False,
                     train_rl=True, critic=self.critic,
-                    critic_params=critic_params, gamma=c.train.gamma)
+                    critic_params=critic_params, gamma=c.train.gamma,
+                    zdicts=zdicts)
                 bs = state0.batch_size
                 rl = (aux["rl_loss"]
                       - c.train.entropy_loss_weight * aux["rl_entropy"]) / bs
@@ -213,12 +225,12 @@ class Trainer:
 
         def step(params, opt_state, critic_params, critic_opt_state,
                  t_params, t_opt_state, state0, txt_ids, txt_masks, rng,
-                 ability_grads):
+                 ability_grads, zdicts):
             if icod:
                 (loss, metrics), (grads, t_grads) = jax.value_and_grad(
                     loss_fn, argnums=(0, 2), has_aux=True)(
                         params, critic_params, t_params, state0, txt_ids,
-                        txt_masks, rng, ability_grads)
+                        txt_masks, rng, ability_grads, zdicts)
                 updates, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 t_updates, t_opt_state = self.t_opt.update(
@@ -228,7 +240,7 @@ class Trainer:
                 (loss, metrics), (grads, c_grads) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True)(
                         params, critic_params, t_params, state0, txt_ids,
-                        txt_masks, rng, ability_grads)
+                        txt_masks, rng, ability_grads, zdicts)
                 updates, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 c_updates, critic_opt_state = self.critic_opt.update(
@@ -238,7 +250,7 @@ class Trainer:
                 (loss, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(
                         params, critic_params, t_params, state0, txt_ids,
-                        txt_masks, rng, ability_grads)
+                        txt_masks, rng, ability_grads, zdicts)
                 updates, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
             metrics["grad_norm"] = optax.global_norm(grads)
@@ -247,9 +259,11 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5))
 
-    def train_step(self, items):
+    def train_step(self, items, zdicts=None):
         if self._step_fn is None:
             self._step_fn = self._make_step()
+        if zdicts is None:
+            zdicts = self.zdicts
         txt_ids, txt_masks = pad_instructions(items, self.cfg.env.max_instr_len)
         state0 = episodes_from_items(
             self.tables, self.world, items, self.rollout.model_dims,
@@ -261,7 +275,7 @@ class Trainer:
             self.params, self.opt_state, self.critic_params,
             self.critic_opt_state, self.t_params, self.t_opt_state,
             state0, jnp.asarray(txt_ids), jnp.asarray(txt_masks), k,
-            jnp.asarray(self.ability_grads))
+            jnp.asarray(self.ability_grads), zdicts)
         self.iteration += 1
         return {k: float(v) for k, v in metrics.items()}
 
@@ -283,6 +297,64 @@ class Trainer:
         if save_optimizer:
             mgr = CheckpointManager(path + ".opt")
             mgr.save("opt_state", self.opt_state)
+
+    def save_state(self, ckpt_dir: str, name: str = "train_state"):
+        """Full resumable train state (params, both optimizers, iteration,
+        RNG, ability grads) via orbax — the emergency/auto-resume container
+        (SURVEY §5.3: the reference's crash story is manual --*_resume_file;
+        the rebuild adds preemption-safe state)."""
+        from ..utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        tree = {
+            "params": self.params, "opt_state": self.opt_state,
+            "critic_params": self.critic_params,
+            "critic_opt_state": self.critic_opt_state,
+            "iteration": np.int64(self.iteration),
+            "rng": np.asarray(self.rng),
+            "ability_grads": np.asarray(self.ability_grads),
+        }
+        if self.t_params is not None:
+            tree["t_params"] = self.t_params
+            if self.t_opt_state is not None:
+                tree["t_opt_state"] = self.t_opt_state
+        return mgr.save(name, tree)
+
+    def load_state(self, ckpt_dir: str, name: str = "train_state") -> bool:
+        """Restore what save_state wrote; returns False if absent."""
+        from ..utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        if not mgr.has(name):
+            return False
+        template = {
+            "params": self.params, "opt_state": self.opt_state,
+            "critic_params": self.critic_params,
+            "critic_opt_state": self.critic_opt_state,
+            "iteration": np.int64(self.iteration),
+            "rng": np.asarray(self.rng),
+            "ability_grads": np.asarray(self.ability_grads),
+        }
+        if self.t_params is not None:
+            template["t_params"] = self.t_params
+            if self.t_opt_state is not None:
+                template["t_opt_state"] = self.t_opt_state
+        tree = mgr.restore(name, template=template)
+        self.params = tree["params"]
+        self.opt_state = tree["opt_state"]
+        self.critic_params = tree["critic_params"]
+        self.critic_opt_state = tree["critic_opt_state"]
+        self.iteration = int(tree["iteration"])
+        self.rng = jnp.asarray(tree["rng"])
+        self.ability_grads = np.asarray(tree["ability_grads"], np.float32)
+        if "t_params" in tree:
+            self.t_params = tree["t_params"]
+        if "t_opt_state" in tree:
+            self.t_opt_state = tree["t_opt_state"]
+        # resume the data order deterministically from the restored iteration
+        self._data_rng = np.random.default_rng(
+            self.cfg.train.seed + self.iteration)
+        return True
 
     def load(self, path: str, resume_optimizer: bool = False,
              teacher_path: str | None = None):
@@ -353,7 +425,10 @@ class Trainer:
         (aug_times aug per train batch); a ``speaker`` regenerates the aug
         instructions via noisy back-translation (the self-train path,
         agent.py:737-752, main_nav aug alternation)."""
-        r = np.random.default_rng(self.cfg.train.seed)
+        # the data-order rng persists across fit() calls (a per-call rng
+        # would replay the identical permutation prefix every interval and
+        # never reach items beyond interval*batch_size)
+        r = rng if rng is not None else self._data_rng
         bs = self.cfg.train.batch_size
 
         def cycler(data):

@@ -112,6 +112,14 @@ def parse_args(argv=None):
     p.add_argument("--z_instr_update", action="store_true", default=False)
     p.add_argument("--update_iter", type=int, default=3000)
     p.add_argument("--front_n_clusters", type=int, default=24)
+    # env shape (framework addition: the reference pads gmaps to the batch
+    # max; fixed shapes need the budget explicit and raisable per dataset)
+    p.add_argument("--max_gmap_len", type=int, default=128)
+    p.add_argument("--aug_times", type=int, default=1)
+    p.add_argument("--detailed_output", action="store_true", default=False)
+    # preemption safety (SURVEY §5.3 rebuild item): resume from the latest
+    # emergency/periodic train state automatically
+    p.add_argument("--auto_resume", action="store_true", default=False)
     # synthetic fallback knobs (framework addition)
     p.add_argument("--synthetic_scans", type=int, default=2)
     p.add_argument("--synthetic_nodes", type=int, default=24)
@@ -148,13 +156,24 @@ def build_dataset(args, cfg):
 
         tok = get_tokenizer(os.path.join(args.root_dir, "pretrained", "roberta"))
         splits = {}
-        for split in ("train", "val_seen", "val_unseen"):
+        # the test env exists for leaderboard submission (main_nav.py:617-622)
+        names = ["train", "val_seen", "val_unseen"]
+        if args.test or args.submit:
+            names.append("test")
+        for split in names:
             try:
                 splits[split] = construct_instrs(
                     args.anno_dir, args.dataset, [split], tok,
                     args.max_instr_len, args.for_debug)
             except FileNotFoundError:
                 continue
+        # EnvEdit/aug annotation file for the aug-alternation env
+        # (--aug, main_nav.py aug env; reference parser.py:41)
+        if args.aug and os.path.exists(args.aug):
+            splits["aug"] = construct_instrs(
+                os.path.dirname(args.aug), args.dataset,
+                [os.path.basename(args.aug)], tok, args.max_instr_len,
+                args.for_debug)
         scans = sorted({it["scan"] for items in splits.values() for it in items})
         store = ImageFeatureStore(args.img_ft_file, feat_dim) \
             if os.path.exists(args.img_ft_file) else HashFeatureStore(feat_dim)
@@ -176,6 +195,10 @@ def build_dataset(args, cfg):
         "val_seen": make_synthetic_instructions(world, max(n // 4, 4), rng),
         "val_unseen": make_synthetic_instructions(world, max(n // 4, 4), rng),
     }
+    if args.test or args.submit:
+        splits["test"] = make_synthetic_instructions(world, max(n // 4, 4), rng)
+    if args.aug:
+        splits["aug"] = make_synthetic_instructions(world, n, rng)
     return world, splits
 
 
@@ -186,8 +209,82 @@ def _score(avg, dataset):
     return avg["spl"] + avg["sr"]
 
 
-def train(args, cfg, world, splits):
+def _make_cfp_builder(cfg, world):
+    from ..pretrain.tasks import PathDataBuilder
+
+    return PathDataBuilder(
+        world, max_steps=min(cfg.env.max_action_len + 1, 20),
+        max_gmap=cfg.env.max_gmap_len, max_txt=cfg.env.max_instr_len,
+        angle_feat_size=cfg.model.angle_feat_size,
+        vocab_size=cfg.model.vocab_size, seed=cfg.train.seed)
+
+
+def refresh_intervention_dicts(args, cfg, trainer, world, items, it,
+                               record=None):
+    """Backdoor z-dict + frontdoor CFP dictionary refresh.
+
+    The reference refreshes at iter 0, every ``update_iter``, and on each
+    new-best (main_nav.py:218-222,439-444,488-494 via agent.update_z_dict and
+    KMeansPicker.random_pick_front_features).  Rebuilds ``trainer.zdicts``
+    in place; returns it.  Per-role jitted forwards are cached on the trainer
+    so periodic refreshes reuse their compiles.
+    """
+    import dataclasses
+    from types import SimpleNamespace
+
     import jax
+
+    from ..agent.interventions import (KMeansPicker, WordPicker,
+                                       build_rollout_zdicts,
+                                       extract_cfp_features, save_cfp_tsv,
+                                       update_backdoor_dict)
+    from ..utils.logging import write_to_record_file
+
+    cache = getattr(trainer, "_zrefresh_cache", None)
+    if cache is None:
+        cache = trainer._zrefresh_cache = {}
+
+    roles = [("student", trainer.model, trainer.params, cfg.model)]
+    if trainer.kdl and cfg.teacher_model is not None:
+        roles.append(("teacher", trainer.teacher_model, trainer.t_params,
+                      cfg.teacher_model))
+
+    zd_all = {}
+    for role, model, params, mcfg in roles:
+        shim = SimpleNamespace(model=model, params=params,
+                               cfg=dataclasses.replace(cfg, model=mcfg))
+        back = front = None
+        if mcfg.do_back_txt and args.z_instr_update:
+            key = f"lang/{role}"
+            if key not in cache:
+                cache[key] = jax.jit(
+                    lambda p, ids, mask, m=model: m.apply(
+                        p, ids, mask, method=type(m).language))
+            back = update_backdoor_dict(shim, items, WordPicker(),
+                                        lang_fn=cache[key])
+        if mcfg.do_front_txt or mcfg.do_front_img or mcfg.do_front_his:
+            if "builder" not in cache:
+                cache["builder"] = _make_cfp_builder(cfg, world)
+            feats, ids = extract_cfp_features(shim, items, cache["builder"])
+            save_cfp_tsv(os.path.join(
+                args.ckpt_dir, f"cfp_features_{role}_{it}.tsv"), feats, ids)
+            km = KMeansPicker(feats, args.front_n_clusters,
+                              seed=cfg.train.seed)
+            front = km.random_pick_front_features(
+                np.random.default_rng(cfg.train.seed + it))
+        z = build_rollout_zdicts(back, front, pad_entries=81)
+        if z:
+            zd_all[role] = z
+    trainer.zdicts = zd_all
+    if record and zd_all:
+        write_to_record_file(
+            f"iter {it}: refreshed intervention dicts for "
+            f"{sorted(zd_all)}", record)
+    return zd_all
+
+
+def train(args, cfg, world, splits):
+    import signal
 
     from ..agent.navigator import Navigator
     from ..agent.trainer import Trainer
@@ -202,17 +299,27 @@ def train(args, cfg, world, splits):
                   f, indent=2)
 
     trainer = Trainer(cfg, world)
-    if args.resume_file:
+    resumed = False
+    if args.auto_resume:
+        # preemption recovery: pick up the full train state (params, both
+        # optimizers, iteration, rng) written periodically / on SIGTERM
+        resumed = trainer.load_state(args.ckpt_dir)
+        if resumed:
+            write_to_record_file(
+                f"auto-resumed train state at iter {trainer.iteration}",
+                record)
+    if args.resume_file and not resumed:
         trainer.params, epoch, miss, unexp = load_torch_checkpoint(
             args.resume_file, template=trainer.params)
+        trainer.iteration = epoch
         write_to_record_file(
             f"resumed {args.resume_file} (epoch {epoch}, "
             f"{len(miss)} missing, {len(unexp)} unexpected)", record)
-    if args.teacher_resume_file and trainer.t_params is not None:
+    if args.teacher_resume_file and trainer.t_params is not None and not resumed:
         trainer.t_params, _, _, _ = load_torch_checkpoint(
             args.teacher_resume_file, template=trainer.t_params,
             drop_kd_heads=not cfg.distill.train_teacher)
-    if args.bert_ckpt_file:
+    if args.bert_ckpt_file and not resumed:
         # pretraining checkpoint: strip the bert. trunk prefix, drop task
         # heads (parser.py:44 --bert_ckpt_file)
         from ..utils.checkpoint import pretrain_to_nav_key_map
@@ -224,45 +331,111 @@ def train(args, cfg, world, splits):
             f"loaded pretrain trunk {args.bert_ckpt_file} "
             f"({len(miss)} params left at init)", record)
 
-    nav = Navigator(cfg, world, params=trainer.params)
-    best = {s: -1.0 for s in splits if s.startswith("val")}
-    t0 = time.time()
-    it = 0
-    while it < args.iters:
-        interval = min(args.log_every, args.iters - it)
-        hist = trainer.fit(splits["train"], interval)
-        it += interval
-        mean = {k: float(np.mean([h[k] for h in hist if k in h]))
-                for k in hist[-1]}
-        logger.log(it, {f"loss/{k}": v for k, v in mean.items()})
+    # SIGTERM (preemption) -> emergency train-state checkpoint, then exit.
+    # Params/opt-state attributes are only rebound between steps, so the
+    # handler always sees a consistent state (SURVEY §5.3 rebuild item; the
+    # reference's GracefulKiller sets a flag nothing consumes,
+    # speaker_utils.py:387-396).
+    def _on_sigterm(signum, frame):
+        path = trainer.save_state(args.ckpt_dir)
         write_to_record_file(
-            f"iter {it}/{args.iters} loss={mean.get('loss', 0):.3f} "
-            f"({time.time() - t0:.0f}s)", record)
+            f"SIGTERM at iter {trainer.iteration}: emergency train state "
+            f"saved to {path}", record)
+        raise SystemExit(143)
 
+    prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+
+    nav = Navigator(cfg, world, params=trainer.params)
+    grad_aw = (cfg.distill.adaptive_ability_weight
+               and cfg.distill.adaptive_ability_weight_type == "grad"
+               and trainer.kdl)
+    needs_dicts = args.z_instr_update or cfg.model.do_front_txt \
+        or cfg.model.do_front_img or cfg.model.do_front_his
+
+    def run_validation(it, save_best=True):
         nav.params = trainer.params
+        new_best = False
+        zd = ({"student": trainer.zdicts["student"]}
+              if "student" in trainer.zdicts else None)
         for split, items in splits.items():
             if not split.startswith("val") or not items:
                 continue
-            (avg, _), _ = nav.evaluate(items)
+            (avg, _), _ = nav.evaluate(items, zdicts=zd)
             logger.log(it, {f"{split}/{k}": v for k, v in avg.items()
                             if isinstance(v, float)})
             write_to_record_file(
                 f"  {split}: sr={avg['sr']:.1f} spl={avg['spl']:.1f} "
                 f"nDTW={avg['nDTW']:.1f}", record)
             score = _score(avg, args.dataset)
-            if score > best[split]:
+            if save_best and score > best[split]:
                 best[split] = score
+                new_best = True
                 save_torch_checkpoint(
                     trainer.params,
                     os.path.join(args.ckpt_dir, f"best_{split}.pt"), epoch=it)
-        save_torch_checkpoint(
-            trainer.params, os.path.join(args.ckpt_dir, "latest_dict.pt"),
-            epoch=it)
-        if trainer.t_params is not None and cfg.distill.train_teacher:
+        return new_best
+
+    best = {s: -1.0 for s in splits if s.startswith("val")}
+    t0 = time.time()
+    it = trainer.iteration
+
+    # iter-0 dictionary build + optional pre-train validation
+    # (main_nav.py:218-222 / --eval_first :229-284)
+    if needs_dicts:
+        refresh_intervention_dicts(args, cfg, trainer, world, splits["train"],
+                                   it, record)
+    if grad_aw:
+        trainer.update_ability_grads(
+            splits["train"][: cfg.train.batch_size])
+    if args.eval_first:
+        run_validation(it, save_best=False)
+
+    aug_items = splits.get("aug")
+    try:
+        while it < args.iters:
+            interval = min(args.log_every, args.iters - it)
+            hist = trainer.fit(splits["train"], interval,
+                               aug_items=aug_items,
+                               aug_times=args.aug_times if aug_items else 0)
+            prev_it, it = it, it + interval
+            mean = {k: float(np.mean([h[k] for h in hist if k in h]))
+                    for k in hist[-1]}
+            logger.log(it, {f"loss/{k}": v for k, v in mean.items()})
+            if grad_aw:
+                logger.log(it, {f"ability_grad/{i}": float(g) for i, g in
+                                enumerate(trainer.ability_grads)})
+            write_to_record_file(
+                f"iter {it}/{args.iters} loss={mean.get('loss', 0):.3f} "
+                f"({time.time() - t0:.0f}s)", record)
+
+            # periodic refreshes on their own cadences
+            # (main_nav.py:439-455)
+            if needs_dicts and args.update_iter and \
+                    prev_it // args.update_iter != it // args.update_iter:
+                refresh_intervention_dicts(args, cfg, trainer, world,
+                                           splits["train"], it, record)
+            if grad_aw and args.aw_update_iter and \
+                    prev_it // args.aw_update_iter != it // args.aw_update_iter:
+                trainer.update_ability_grads(
+                    splits["train"][: cfg.train.batch_size])
+
+            new_best = run_validation(it)
+            if new_best and needs_dicts:
+                # new-best refresh (main_nav.py:488-494)
+                refresh_intervention_dicts(args, cfg, trainer, world,
+                                           splits["train"], it, record)
             save_torch_checkpoint(
-                trainer.t_params,
-                os.path.join(args.ckpt_dir, "teacher_latest_dict.pt"), epoch=it)
-    logger.close()
+                trainer.params, os.path.join(args.ckpt_dir, "latest_dict.pt"),
+                epoch=it)
+            if trainer.t_params is not None and cfg.distill.train_teacher:
+                save_torch_checkpoint(
+                    trainer.t_params,
+                    os.path.join(args.ckpt_dir, "teacher_latest_dict.pt"),
+                    epoch=it)
+            trainer.save_state(args.ckpt_dir)
+    finally:
+        signal.signal(signal.SIGTERM, prev_handler)
+        logger.close()
     return trainer
 
 
@@ -280,31 +453,67 @@ def valid(args, cfg, world, splits):
             args.resume_file, template=nav.params)
         write_to_record_file(f"loaded {args.resume_file} (epoch {epoch})",
                              record)
-    def eval_model(tag, navigator):
+
+    # rebuild the student's intervention dictionaries from the loaded
+    # checkpoint when the causal flags are on (the reference loads them from
+    # s_backdoor/frontdoor TSVs, main_nav.py:574-592; regenerating them from
+    # the model is equivalent and dataset-free)
+    zdicts = None
+    if (cfg.model.do_back_txt or cfg.model.do_front_txt
+            or cfg.model.do_front_img or cfg.model.do_front_his) \
+            and splits.get("train"):
+        from ..agent.interventions import (KMeansPicker, WordPicker,
+                                           build_rollout_zdicts,
+                                           extract_cfp_features,
+                                           update_backdoor_dict)
+
+        back = update_backdoor_dict(nav, splits["train"], WordPicker()) \
+            if cfg.model.do_back_txt else None
+        front = None
+        if cfg.model.do_front_txt or cfg.model.do_front_img \
+                or cfg.model.do_front_his:
+            feats, _ = extract_cfp_features(
+                nav, splits["train"], _make_cfp_builder(cfg, world))
+            front = KMeansPicker(
+                feats, args.front_n_clusters,
+                seed=cfg.train.seed).random_pick_front_features(
+                np.random.default_rng(cfg.train.seed))
+        z = build_rollout_zdicts(back, front, pad_entries=81)
+        zdicts = {"student": z} if z else None
+
+    def eval_model(tag, navigator, zd=None):
         out = {}
         for split, items in splits.items():
-            if split == "train" or not items:
+            if split in ("train", "aug") or not items:
                 continue
             t0 = time.time()
             # multi-host: contiguous eval shards per process, predictions
             # merged over the collective (reference sel_data_idxs +
             # all_gather, env.py:126-134, main_nav.py:606-607)
             my_items = shard_items(items)
-            (_, _), preds = navigator.evaluate(my_items)
+            (_, _), preds = navigator.evaluate(
+                my_items, zdicts=zd, detailed_output=args.detailed_output)
             preds = gather_predictions(preds)
+            if args.submit and tag == "" and is_primary():
+                with open(os.path.join(args.pred_dir,
+                                       f"submit_{split}.json"), "w") as f:
+                    json.dump(submission_format(preds), f)
+            if split == "test":
+                # leaderboard split has no ground truth: submission only
+                # (main_nav.py:617-622)
+                write_to_record_file(
+                    f"{tag}test: {len(preds)} predictions written "
+                    f"(cost time: {time.time() - t0:.1f}s)", record)
+                continue
             avg, _ = Evaluator(world, items).eval_metrics(preds)
             write_to_record_file(
                 f"{tag}{split}: "
                 f"{json.dumps({k: round(v, 2) for k, v in avg.items()})} "
                 f"(cost time: {time.time() - t0:.1f}s)", record)
             out[split] = avg
-            if args.submit and tag == "":
-                with open(os.path.join(args.pred_dir,
-                                       f"submit_{split}.json"), "w") as f:
-                    json.dump(submission_format(preds), f)
         return out
 
-    results = eval_model("", nav)
+    results = eval_model("", nav, zdicts)
     # the reference also validates the teacher model (main_nav.py:624-667)
     if args.train_kdl and args.teacher_resume_file and cfg.teacher_model:
         import dataclasses
@@ -317,6 +526,31 @@ def valid(args, cfg, world, splits):
         results.update({f"teacher_{k}": v
                         for k, v in eval_model("teacher ", t_nav).items()})
     return results
+
+
+def extract_cfp(args, cfg, world, splits):
+    """--mode extract_cfp_features: dump the frontdoor CFP feature TSV for
+    the train split (reference main_nav.py:669-677 -> agent.py:1516-1561,
+    consumed later by KMeansPicker for the frontdoor dictionaries)."""
+    from ..agent.interventions import extract_cfp_features, save_cfp_tsv
+    from ..agent.navigator import Navigator
+    from ..utils.checkpoint import load_torch_checkpoint
+    from ..utils.logging import write_to_record_file
+
+    record = os.path.join(args.log_dir, "extract.txt")
+    nav = Navigator(cfg, world)
+    epoch = 0
+    if args.resume_file:
+        nav.params, epoch, _, _ = load_torch_checkpoint(
+            args.resume_file, template=nav.params)
+    feats, ids = extract_cfp_features(nav, splits["train"],
+                                      _make_cfp_builder(cfg, world))
+    out = os.path.join(args.pred_dir, f"cfp_features_{epoch}.tsv")
+    save_cfp_tsv(out, feats, ids)
+    write_to_record_file(
+        f"extracted CFP features for {len(ids)} trajectories -> {out}",
+        record)
+    return out
 
 
 def main(argv=None):
@@ -343,6 +577,8 @@ def main(argv=None):
         return train(args, cfg, world, splits)
     if args.mode == "valid":
         return valid(args, cfg, world, splits)
+    if args.mode == "extract_cfp_features":
+        return extract_cfp(args, cfg, world, splits)
     raise SystemExit(f"unknown mode {args.mode}")
 
 

@@ -174,6 +174,7 @@ class MagicConfig:
 _FLAG_MAP = {
     "max_action_len": ("env", "max_action_len"),
     "max_instr_len": ("env", "max_instr_len"),
+    "max_gmap_len": ("env", "max_gmap_len"),
     "ignoreid": ("env", "ignore_id"),
     "expert_policy": ("env", "expert_policy"),
     "dataset": ("env", "dataset"),

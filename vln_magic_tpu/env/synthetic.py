@@ -93,6 +93,18 @@ def make_synthetic_instructions(
                 break
         path = g.path_indices(int(a), int(b))
         L = int(rng.integers(min_len, max_len))
+        # pseudo-instruction text with direction + landmark words so the
+        # backdoor z-dict / speaker paths are exercisable without real
+        # annotations (the word classes match agent/interventions.py)
+        directions = ("forward", "left", "right", "around", "straight",
+                      "through", "past", "into")
+        landmarks = ("table", "door", "stairs", "kitchen", "sofa", "window",
+                     "hallway", "lamp")
+        fillers = ("walk", "then", "turn", "go", "the", "toward", "at")
+        words = [str(rng.choice(fillers)) if j % 3 == 0
+                 else str(rng.choice(directions)) if j % 3 == 1
+                 else str(rng.choice(landmarks))
+                 for j in range(max(min(L // 3, 12), 4))]
         items.append({
             "instr_id": f"{k}_0",
             "path_id": k,
@@ -101,7 +113,7 @@ def make_synthetic_instructions(
             "path": [g.node_ids[i] for i in path],
             "path_idx": np.array(path, dtype=np.int32),
             "heading": float(rng.uniform(0, 2 * np.pi)),
-            "instruction": "synthetic",
+            "instruction": " ".join(words),
             "instr_encoding": np.concatenate(
                 [[0], rng.integers(4, vocab_size, L), [2]]
             ).astype(np.int32),

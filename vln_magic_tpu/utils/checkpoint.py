@@ -54,8 +54,15 @@ def unflatten_params(flat: dict, template=None):
             want = tuple(np.shape(tflat[k]))
             have = tuple(np.shape(v))
             if have != want:
-                if int(np.prod(have)) == int(np.prod(want)):
-                    merged[k] = np.reshape(v, want)   # 0-d/1-element drift
+                # reshape ONLY true singleton/0-d drift (shapes equal up to
+                # size-1 dims).  Anything else — e.g. a torch [out,in] kernel
+                # against a flax [in,out] template — must raise, never be
+                # silently scrambled by a reshape.
+                core = lambda s: tuple(d for d in s if d != 1)
+                if (int(np.prod(have)) == int(np.prod(want))
+                        and (int(np.prod(want)) == 1
+                             or core(have) == core(want))):
+                    merged[k] = np.reshape(v, want)
                 else:
                     raise ValueError(
                         f"shape mismatch for {k}: ckpt {have} vs model {want}")
