@@ -1,12 +1,21 @@
-"""Rollout throughput benchmark.
+"""Rollout / train-step throughput benchmark.
 
-Measures MAGIC-S (student, 128-d) greedy navigation throughput in
-nav steps/sec/chip — one nav step = one full per-step pipeline (panorama
-forward, gmap update + token assembly, dual-scale cross-modal forward, action
-selection, environment transition) for one episode.  The driver's north-star
-is >= 5,000 nav steps/sec/chip on TPU v5e (BASELINE.md).
+Default (eval) mode measures MAGIC-S (student, 128-d) greedy navigation
+throughput on an honest R2R-shaped configuration: 200-token instructions
+(reference parser.py:33), max_gmap 128 (config default), >=300-node scans
+(Matterport scans reach ~345 nodes), CLIP-768 features.  One nav step = one
+full per-step pipeline (panorama forward, gmap update + token assembly,
+dual-scale cross-modal forward, action selection, environment transition) for
+one episode.  The headline JSON value is SEMANTIC steps/s — steps where the
+episode was still active — not padded scan iterations; the padded-pipeline
+rate is printed to stderr.  The driver's north-star is >= 5,000 nav
+steps/sec/chip on TPU v5e (BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``--train`` times the fused MAKD+ICoD train step (teacher 768-d + student
+128-d, DAgger double rollout, all five ability losses, MKRW+MKTD, teacher
+co-training) and reports ms/step.
+
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import argparse
@@ -18,14 +27,76 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 BASELINE_STEPS_PER_SEC = 5000.0
+# round-1 README claim for the full-size MAKD step; --train reproduces it
+BASELINE_TRAIN_MS = 497.0
+
+
+def build_cfg(args, smoke):
+    from vln_magic_tpu.config import (DistillConfig, EnvConfig, MagicConfig,
+                                      ModelConfig, TrainConfig)
+
+    if smoke:
+        scans, nodes, feat = 1, 16, 32
+        hidden, heads, layers, xl, pl = 32, 2, 1, 1, 1
+        batch = args.batch or 4
+        iters = args.iters or 2
+        max_gmap, t_steps, txt_len = 16, 4, 32
+        t_hidden, t_heads = 48, 2
+    else:
+        # honest R2R shape: 200-token instructions, gmap budget 128,
+        # Matterport-scale scans (~320 nodes), CLIP-768 features.
+        # MAGIC-S student: hidden 128, 6 lang + 2 pano + 3 cross layers
+        # (reference parser.py:186-192, r2r_magic_model_config.json)
+        scans, nodes, feat = 3, 320, 768
+        hidden, heads, layers, xl, pl = 128, 2, 6, 3, 2
+        # eval batches wide; training at the reference fine-tune batch 16
+        # (run_r2r_kdl_valid.sh) — the backward keeps per-step activations
+        # of both models across the 15-step scan
+        batch = args.batch or (16 if args.train else 128)
+        iters = args.iters or 8
+        max_gmap, t_steps, txt_len = 128, 15, 200
+        t_hidden, t_heads = 768, 12   # MAGIC teacher
+
+    cfg = MagicConfig(
+        model=ModelConfig(
+            hidden_size=hidden, num_attention_heads=heads,
+            num_l_layers=layers, num_pano_layers=pl, num_x_layers=xl,
+            image_feat_size=feat,
+            use_pallas_attention=args.pallas and not smoke,
+            kd_heads=args.train, kd_target_size=t_hidden,
+        ),
+        teacher_model=ModelConfig(
+            hidden_size=t_hidden, num_attention_heads=t_heads,
+            num_l_layers=layers, num_pano_layers=pl, num_x_layers=xl,
+            image_feat_size=feat, kd_heads=True, kd_target_size=hidden,
+        ) if args.train else None,
+        env=EnvConfig(max_action_len=t_steps, max_gmap_len=max_gmap,
+                      max_instr_len=txt_len,
+                      observed_graph_parity=args.parity),
+        train=TrainConfig(batch_size=batch, compute_dtype=args.dtype,
+                          train_alg="dagger", ml_weight=0.2, lr=4e-5,
+                          remat=args.remat),
+        distill=DistillConfig(
+            train_kdl=args.train, train_teacher=args.train,
+            teacher_sample_hard_mining=args.train,
+            adaptive_ability_weight=args.train,
+            adaptive_ability_weight_type="RW"),
+    )
+    return cfg, scans, nodes, feat, batch, iters, t_steps, txt_len
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny CPU run")
+    ap.add_argument("--train", action="store_true",
+                    help="time the fused MAKD+ICoD train step instead of "
+                         "greedy eval")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--remat", action="store_true", default=False,
+                    help="rematerialize rollout steps in the backward "
+                         "(raises the trainable batch ceiling)")
     ap.add_argument("--pallas", action="store_true", default=False,
                     help="fused pallas attention (wins for many-head models; "
                          "the 2-head MAGIC-S is faster on plain XLA)")
@@ -43,48 +114,51 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from vln_magic_tpu.config import EnvConfig, MagicConfig, ModelConfig, TrainConfig
     from vln_magic_tpu.agent import Navigator
     from vln_magic_tpu.agent.navigator import episodes_from_items, pad_instructions
     from vln_magic_tpu.env import make_synthetic_world
     from vln_magic_tpu.env.synthetic import make_synthetic_instructions
 
-    if args.smoke:
-        scans, nodes, feat, hidden, heads, layers = 1, 16, 32, 32, 2, 1
-        batch = args.batch or 4
-        iters = args.iters or 2
-        max_gmap, t_steps, txt_len = 16, 4, 32
-    else:
-        # MAGIC-S: hidden 128, 6 lang + 2 pano + 3 cross layers, CLIP-768
-        # features (reference parser.py:186-192, model config)
-        scans, nodes, feat, hidden, heads, layers = 4, 96, 768, 128, 2, 6
-        batch = args.batch or 128
-        iters = args.iters or 8
-        max_gmap, t_steps, txt_len = 64, 15, 64
-
-    cfg = MagicConfig(
-        model=ModelConfig(
-            hidden_size=hidden, num_attention_heads=heads,
-            num_l_layers=layers, num_pano_layers=2,
-            num_x_layers=3 if not args.smoke else 1,
-            image_feat_size=feat,
-            use_pallas_attention=args.pallas and not args.smoke,
-        ),
-        env=EnvConfig(max_action_len=t_steps, max_gmap_len=max_gmap,
-                      max_instr_len=txt_len,
-                      observed_graph_parity=args.parity),
-        train=TrainConfig(batch_size=batch, compute_dtype=args.dtype),
-    )
+    cfg, scans, nodes, feat, batch, iters, t_steps, txt_len = \
+        build_cfg(args, args.smoke)
     world = make_synthetic_world(num_scans=scans, nodes_per_scan=nodes,
                                  feat_dim=feat, seed=0)
-    nav = Navigator(cfg, world)
     rng = np.random.default_rng(0)
-    items = make_synthetic_instructions(world, batch, rng, min_path=3,
-                                        max_path=6)
-    # fixed-length instructions at the max to avoid bucket variance
+    # R2R-like episode lengths: 4-7 hop ground-truth paths
+    items = make_synthetic_instructions(
+        world, batch, rng, min_path=3 if args.smoke else 4,
+        max_path=4 if args.smoke else 7)
+    # fixed full-length instructions (the reference trains/evals at
+    # max_instr_len 200; R2R instructions are padded to the batch max there)
     for it in items:
         it["instr_encoding"] = rng.integers(4, 1000, txt_len).astype(np.int32)
 
+    if args.train:
+        from vln_magic_tpu.agent.trainer import Trainer
+
+        trainer = Trainer(cfg, world)
+        step = lambda: trainer.train_step(items)
+        m = step()   # compile + warmup
+        if args.profile:
+            jax.profiler.start_trace(args.profile)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            m = step()
+        wall = time.perf_counter() - t0
+        if args.profile:
+            jax.profiler.stop_trace()
+        ms = wall / iters * 1000.0
+        print(f"loss={m.get('loss', float('nan')):.3f} "
+              f"batch={batch} iters={iters}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "makd_train_step_ms",
+            "value": round(ms, 1),
+            "unit": "ms/step",
+            "vs_baseline": round(BASELINE_TRAIN_MS / ms, 3),
+        }))
+        return
+
+    nav = Navigator(cfg, world)
     txt_ids, txt_masks = pad_instructions(items, cfg.env.max_instr_len)
     state0 = episodes_from_items(nav.tables, world, items,
                                  nav.rollout.model_dims,
@@ -96,6 +170,7 @@ def main():
     out = fn(nav.params, state0, jnp.asarray(txt_ids), jnp.asarray(txt_masks),
              key, {})
     jax.block_until_ready(out)
+    semantic_per_iter = int(out[1]["semantic_steps"])
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -108,8 +183,12 @@ def main():
     if args.profile:
         jax.profiler.stop_trace()
 
-    nav_steps = batch * t_steps * iters
-    sps = nav_steps / wall
+    pipeline_steps = batch * t_steps * iters
+    semantic_steps = semantic_per_iter * iters
+    sps = semantic_steps / wall
+    print(f"pipeline={pipeline_steps / wall:.1f} steps/s "
+          f"(batch={batch} x T={t_steps}); semantic fraction "
+          f"{semantic_per_iter / (batch * t_steps):.2f}", file=sys.stderr)
     print(json.dumps({
         "metric": "nav_steps_per_sec_per_chip",
         "value": round(sps, 1),

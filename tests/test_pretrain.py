@@ -112,3 +112,81 @@ def test_og_task(world, items):
         m = tr.train_step("og", batch)
     assert np.isfinite(m["loss"]) and m["loss"] < m1["loss"]
     assert 0.0 <= m["og_acc"] <= 1.0
+
+
+def test_endpoint_sampling_scheme(world, items):
+    """Reference endpoint draws (tasks.py:203-211,343-351; dataset.py
+    get_input): SAP mixes pos 0.2 / neg 0.8; pos ends at the gt endpoint
+    with stop labels, negs end mid-path with next-hop labels."""
+    b = PathDataBuilder(world, max_steps=6, max_gmap=24, max_txt=32,
+                        vocab_size=300, seed=7)
+    types = b._sample_end_types(4000, 0.2, neg_in_gt_ratio=0.6)
+    frac = {t: types.count(t) / len(types) for t in set(types)}
+    assert frac["pos"] == pytest.approx(0.2, abs=0.03)
+    assert frac["neg_in_gt_path"] == pytest.approx(0.4, abs=0.03)
+    assert frac["neg_others"] == pytest.approx(0.4, abs=0.03)
+
+    it = items[0]
+    k = len(it["path_idx"])
+    row = b.build_item(it, end_vp_type="pos")
+    assert int(row["final_step"]) == k - 1
+    assert int(row["sap_global_label"]) == 0 and int(row["sap_local_label"]) == 0
+    # negatives end strictly before the endpoint and supervise the next hop
+    for _ in range(8):
+        row = b.build_item(it, end_vp_type="neg_in_gt_path")
+        s = int(row["final_step"])
+        assert s < k - 1
+        g = int(row["sap_global_label"])
+        nxt = int(it["path_idx"][s + 1])
+        assert g != 0   # never labeled stop
+        if g != -100:
+            assert int(row["gmap_src_step"][g] >= 0)
+    # R2R collapses neg_others to neg_in_gt_path (R2RTextPathData override)
+    row = b.build_item(it, end_vp_type="neg_others")
+    assert int(row["final_step"]) < k - 1
+
+
+def test_reverie_endpoint_sampling(world, items):
+    """REVERIE items (pos_vps) sample pos endpoints from pos_vps, take
+    off-path neg_others with shortest-path trajectories, and use the
+    SPL-expert labels (dataset.py:322-346,359-372)."""
+    b = PathDataBuilder(world, max_steps=6, max_gmap=24, max_txt=32,
+                        vocab_size=300, seed=3)
+    it = dict(items[0])
+    goal = int(it["path_idx"][-1])
+    it["pos_vps_idx"] = [goal]
+    row = b.build_item(it, end_vp_type="pos")
+    assert int(row["sap_global_label"]) == 0
+    seen_offpath = False
+    for _ in range(10):
+        row = b.build_item(it, end_vp_type="neg_others")
+        g = int(row["sap_global_label"])
+        assert g != 0  # endpoint is off the pos set
+        seen_offpath = True
+    assert seen_offpath
+
+
+def test_envedit_coin_flip(world, items):
+    aug = np.asarray(world.tables.features) + 100.0
+    b = PathDataBuilder(world, max_steps=6, max_gmap=24, max_txt=32,
+                        vocab_size=300, seed=11, aug_features=aug)
+    rows = [b.build_item(items[0], end_vp_type="pos") for _ in range(10)]
+    # per-step per-fetch coin flip: across rows/steps both the original
+    # (max < 50) and augmented (shifted by +100) features must appear
+    step_maxes = [float(r["traj_view_fts"][s].max())
+                  for r in rows for s in range(int(r["final_step"]) + 1)]
+    assert any(m > 50 for m in step_maxes)
+    assert any(m < 50 for m in step_maxes)
+
+
+def test_sap_training_still_converges(world, items):
+    cfg = _cfg()
+    tr = PretrainTrainer(cfg, world,
+                         builder_kwargs=dict(max_steps=6, max_gmap=24))
+    losses = []
+    for i in range(12):
+        batch = tr.builder.sap_batch(items[:4])
+        batch = tr._fill("sap", batch)
+        losses.append(tr.train_step("sap", batch)["loss"])
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])

@@ -824,7 +824,8 @@ class Rollout:
             deterministic: bool = True, teacher_params=None,
             distill=None, ability_grads=None, use_teacher_policy=False,
             zdicts=None, ensemble_n: int = 1, train_rl: bool = False,
-            critic=None, critic_params=None, gamma: float = 0.9):
+            critic=None, critic_params=None, gamma: float = 0.9,
+            remat: bool = False):
         """Full episode rollout under ``lax.scan``.
 
         Single-model greedy/IL rollout, or — when ``teacher_params`` and the
@@ -990,7 +991,10 @@ class Rollout:
                                    gmap, state)
             stop_prob = jax.nn.softmax(policy_logits, axis=-1)[:, 0]
 
-            rec = {"chosen": None, "ce": step_ce}
+            # episodes active at the top of this step: the honest per-step
+            # work unit (post-ended scan iterations are masked compute)
+            rec = {"chosen": None, "ce": step_ce,
+                   "live_n": live0.sum().astype(jnp.int32)}
             if train_rl:
                 # A2C records (the reference's RL branch is a stub — rollout
                 # carries a Critic but computes no RL loss, SURVEY §2.5;
@@ -1020,6 +1024,11 @@ class Rollout:
 
         zeros = jnp.zeros(())
         kd0 = D.zero_kd_losses()
+        if remat:
+            # recompute the step in the backward pass instead of keeping
+            # both models' per-step activations live across the whole scan
+            # (prevent_cse=False is the scan-safe setting)
+            step_fn = jax.checkpoint(step_fn, prevent_cse=False)
         (state, _, ml_loss, t_ml_loss, kd_acc, t_kd_acc), recs = jax.lax.scan(
             step_fn, (state, rng, zeros, zeros, kd0, dict(kd0)),
             jnp.arange(self.env.max_action_len))
@@ -1032,6 +1041,9 @@ class Rollout:
             "t_kd_losses": t_kd_acc,
             "stop_node": self.final_stop_node(state),
             "final_cur": state.cur,
+            # semantic (pre-ended) step count across the batch, for honest
+            # steps/s accounting (bench.py)
+            "semantic_steps": recs["live_n"].sum(),
             # episodes whose observed-node count exceeded the gmap token
             # budget at any point (tokens silently truncated; raise
             # env.max_gmap_len / --max_gmap_len if this is ever nonzero)

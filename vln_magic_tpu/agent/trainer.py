@@ -147,7 +147,7 @@ class Trainer:
             params, state0, txt_ids, txt_masks, feedback, rng,
             train_ml=train_ml, deterministic=False,
             teacher_params=t_params, distill=d, ability_grads=ability_grads,
-            zdicts=zdicts)
+            zdicts=zdicts, remat=c.train.remat)
         bs = state0.batch_size
         ml = aux["ml_loss"] * train_ml / bs
         metrics = {"ml_loss": ml}

@@ -157,6 +157,11 @@ class TrainConfig:
     gamma: float = 0.9                   # RL discount (parser.py:93)
     entropy_loss_weight: float = 0.01    # (parser.py:48)
     compute_dtype: str = "float32"       # bfloat16 on TPU training
+    # rematerialize each rollout step in the backward pass (jax.checkpoint):
+    # trades ~one extra forward for O(T) less activation HBM, raising the
+    # trainable batch ceiling (the dual-model 15-step scan otherwise keeps
+    # both models' per-step activations live)
+    remat: bool = False
 
 
 @dataclass

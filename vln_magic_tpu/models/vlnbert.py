@@ -71,6 +71,11 @@ class LanguageEncoder(nn.Module):
 
     def __call__(self, txt_ids, txt_masks, deterministic=True):
         c = self.cfg
+        if txt_ids.shape[1] + c.pad_token_id + 1 > c.max_position_embeddings:
+            raise ValueError(
+                f"instruction length {txt_ids.shape[1]} overflows the "
+                f"position table ({c.max_position_embeddings}); raise "
+                "max_position_embeddings or lower max_instr_len")
         positions = jnp.arange(txt_ids.shape[1])[None, :] + c.pad_token_id + 1
         x = (self.word_embeddings(txt_ids)
              + self.position_embeddings(positions)

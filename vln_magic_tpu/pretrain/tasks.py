@@ -48,7 +48,7 @@ class PathDataBuilder:
     def __init__(self, world: World, max_steps: int = 8, max_gmap: int = 48,
                  max_txt: int = 64, angle_feat_size: int = 4,
                  image_prob_size: int = 1000, mask_token: int = 3,
-                 vocab_size: int = 50265, seed: int = 0):
+                 vocab_size: int = 50265, seed: int = 0, aug_features=None):
         self.world = world
         self.t = world.tables
         self.S = max_steps
@@ -60,6 +60,11 @@ class PathDataBuilder:
         self.vocab_size = vocab_size
         self.rng = np.random.default_rng(seed)
         self.P = self.t.max_candidates + 36
+        # EnvEdit-augmented feature table, same layout as tables.features;
+        # when set, every per-viewpoint feature fetch coin-flips between the
+        # original and augmented features (reference dataset.py:230-237,
+        # get_scanvp_feature: np.random.rand() > 0.5 per fetch)
+        self.aug_features = aug_features
 
     # ----- per-item assembly -----
 
@@ -81,7 +86,11 @@ class PathDataBuilder:
         C = t.max_candidates
         cand_mask = t.cand_mask[si, node]
         cand_view = t.cand_view[si, node]
-        feats36 = np.asarray(t.features[si, node], np.float32)
+        # EnvEdit coin-flip per feature fetch (dataset.py get_scanvp_feature)
+        if self.aug_features is not None and self.rng.random() > 0.5:
+            feats36 = np.asarray(self.aug_features[si, node], np.float32)
+        else:
+            feats36 = np.asarray(t.features[si, node], np.float32)
         cand_feat = feats36[cand_view]
         cand_ang = get_angle_fts(t.cand_heading[si, node] - heading,
                                  t.cand_elevation[si, node] - elevation,
@@ -98,12 +107,57 @@ class PathDataBuilder:
                                     np.zeros(36, np.int32)])
         return view_fts, loc, nav_types, pano_mask
 
-    def build_item(self, item, end_step=None):
-        """Assemble one partial-path sample ending at ``end_step`` (sampled
-        uniformly when None, the SapDataset regime)."""
+    def sample_endpoint(self, item, end_vp_type: str):
+        """Endpoint sampling per ``end_vp_type`` (reference dataset.py
+        get_input: ReverieTextPathData :359-372, R2RTextPathData :650-658).
+
+        Returns (path, end_step, pos_set):
+          pos             — a true endpoint: the gt path end (R2R) or a
+                            sampled ``pos_vps`` viewpoint with a
+                            shortest-path trajectory (REVERIE);
+          neg_in_gt_path  — a non-endpoint node on the gt path (uniform);
+          neg_others      — REVERIE: an off-path reachable node with a
+                            shortest-path trajectory; R2R collapses this to
+                            neg_in_gt_path (the R2R get_input override).
+        """
+        si = item["scan_idx"]
+        gt = [int(v) for v in np.asarray(item["path_idx"])]
+        reverie = "pos_vps_idx" in item
+        pos = ([int(v) for v in item["pos_vps_idx"]] if reverie else [gt[-1]])
+        if end_vp_type == "pos":
+            if reverie:
+                end_vp = int(self.rng.choice(pos))
+                path = [int(v) for v in
+                        self.world.graphs[si].path_indices(gt[0], end_vp)]
+                return path, len(path) - 1, set(pos)
+            return gt, len(gt) - 1, set(pos)
+        if end_vp_type == "neg_in_gt_path" or not reverie:
+            cands = [i for i in range(len(gt) - 1) if gt[i] not in pos] \
+                or list(range(max(len(gt) - 1, 1)))
+            return gt, int(self.rng.choice(cands)), set(pos)
+        # neg_others, REVERIE: reachable node off the gt path / pos set
+        t = self.t
+        reach = np.flatnonzero(
+            np.asarray(t.node_mask[si]) & (np.asarray(t.dist[si, gt[0]]) < 1e8))
+        excl = set(gt) | set(pos)
+        options = [int(n) for n in reach if int(n) not in excl] or gt[:-1]
+        end_vp = int(self.rng.choice(options))
+        path = [int(v) for v in
+                self.world.graphs[si].path_indices(gt[0], end_vp)]
+        return path, len(path) - 1, set(pos)
+
+    def build_item(self, item, end_step=None, end_vp_type=None):
+        """Assemble one partial-path sample.  ``end_vp_type`` invokes the
+        reference endpoint-sampling scheme (see :meth:`sample_endpoint`);
+        otherwise the trajectory ends at ``end_step`` (uniform when None)."""
         si = item["scan_idx"]
         t = self.t
-        path = list(np.asarray(item["path_idx"]))[:TRAIN_MAX_STEP]
+        if end_vp_type is not None:
+            path, end_step, pos_set = self.sample_endpoint(item, end_vp_type)
+            path = path[:TRAIN_MAX_STEP]
+        else:
+            path = [int(v) for v in np.asarray(item["path_idx"])][:TRAIN_MAX_STEP]
+            pos_set = {path[-1]}
         k = len(path)
         if end_step is None:
             end_step = int(self.rng.integers(0, k))
@@ -209,9 +263,37 @@ class PathDataBuilder:
             if cand_mask[j] and int(c) in vis_set:
                 vp_cand_visited[2 + j] = 1.0
 
-        # SAP labels (R2RTextPathData.get_act_labels, dataset.py:622-638)
-        if end_step == k - 1:
+        # SAP labels.  R2R (R2RTextPathData.get_act_labels, dataset.py:
+        # 622-638): stop at the gt end, else the gt next hop.  REVERIE items
+        # (with pos_vps) follow ReverieTextPathData.get_act_labels
+        # (dataset.py:322-346): stop when the endpoint is a pos viewpoint,
+        # else the unvisited gmap node / candidate minimizing
+        # dist(end, cand) + min_pos dist(cand, pos) — an SPL expert.
+        reverie = "pos_vps_idx" in item
+        if reverie and cur not in pos_set:
+            g_label = l_label = -100
+            best = np.inf
+            pos_arr = np.asarray(sorted(pos_set))
+            for g in range(2, G):
+                n = int(gmap_nodes[g])
+                if n < 0 or gmap_visited[g]:
+                    continue
+                d = t.dist[si, cur, n] + t.dist[si, n, pos_arr].min()
+                if d < best:
+                    best, g_label = d, g
+            best = np.inf
+            for j, c in enumerate(cand_ids):
+                if not cand_mask[j]:
+                    continue
+                d = t.dist[si, cur, int(c)] + t.dist[si, int(c), pos_arr].min()
+                if d < best:
+                    best, l_label = d, 2 + j
+        elif reverie:
             g_label, l_label = 0, 0
+        elif end_step == k - 1:
+            # stop at a true endpoint; a trajectory truncated by the step
+            # budget has no clean next hop -> ignore
+            g_label, l_label = (0, 0) if cur in pos_set else (-100, -100)
         else:
             nxt = path[end_step + 1]
             g_label = int(np.argmax(gmap_nodes == nxt)) \
@@ -242,14 +324,31 @@ class PathDataBuilder:
 
     # ----- batches per task -----
 
-    def collate(self, items, end_steps=None):
-        rows = [self.build_item(it, None if end_steps is None else end_steps[i])
-                for i, it in enumerate(items)]
+    def collate(self, items, end_steps=None, end_vp_types=None):
+        rows = [self.build_item(
+            it, None if end_steps is None else end_steps[i],
+            None if end_vp_types is None else end_vp_types[i])
+            for i, it in enumerate(items)]
         return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
 
+    def _sample_end_types(self, n, pos_ratio, neg_in_gt_ratio=None):
+        """The reference per-sample endpoint draw (tasks.py:203-211 MRC,
+        :343-351 SAP): r < pos_ratio -> pos; then neg_in_gt_path up to
+        ``neg_in_gt_ratio`` (SAP: 0.6); the rest neg_others."""
+        out = []
+        for r in self.rng.random(n):
+            if r < pos_ratio:
+                out.append("pos")
+            elif neg_in_gt_ratio is None or r < neg_in_gt_ratio:
+                out.append("neg_in_gt_path")
+            else:
+                out.append("neg_others")
+        return out
+
     def mlm_batch(self, items):
-        batch = self.collate(items, end_steps=[len(it["path_idx"]) - 1
-                                               for it in items])
+        # MLM always trains on the full positive path (tasks.py:190
+        # end_vp_pos_ratio=1)
+        batch = self.collate(items, end_vp_types=["pos"] * len(items))
         ids, labels = mlm_mask(batch["txt_ids"], self.rng, self.mask_token,
                                self.vocab_size)
         ids[~batch["txt_masks"]] = 1
@@ -258,10 +357,14 @@ class PathDataBuilder:
         batch["mlm_labels"] = labels
         return batch
 
-    def mrc_batch(self, items, mask_prob=0.15, soft_targets=None):
+    def mrc_batch(self, items, mask_prob=0.15, soft_targets=None,
+                  end_vp_pos_ratio=0.2):
         """Mask 15% of the final step's views; soft targets are CLIP class
-        probabilities when available, uniform-random otherwise."""
-        batch = self.collate(items)
+        probabilities when available, uniform-random otherwise.  Endpoints:
+        pos at ``end_vp_pos_ratio``, neg_in_gt_path otherwise
+        (MrcDataset, tasks.py:203-211; train_r2r_magic.py:51)."""
+        batch = self.collate(items, end_vp_types=self._sample_end_types(
+            len(items), end_vp_pos_ratio))
         B = len(items)
         view_mask = np.zeros((B, self.P), np.float32)
         for b in range(B):
@@ -279,19 +382,22 @@ class PathDataBuilder:
         batch["mrc_targets"] = soft_targets
         return batch
 
-    def sap_batch(self, items):
-        return self.collate(items)
+    def sap_batch(self, items, end_vp_pos_ratio=0.2):
+        """SAP endpoints: pos 0.2 / neg_in_gt_path 0.4 / neg_others 0.4 —
+        the reference draw r<0.2 pos, r<0.6 neg_in_gt, else neg_others
+        (SapDataset, tasks.py:343-351; train_r2r_magic.py:54)."""
+        return self.collate(items, end_vp_types=self._sample_end_types(
+            len(items), end_vp_pos_ratio, neg_in_gt_ratio=0.6))
 
     def cfp_batch(self, items):
-        return self.collate(items, end_steps=[len(it["path_idx"]) - 1
-                                              for it in items])
+        # CFP pools full positive trajectories (CfpDataset, tasks.py:575)
+        return self.collate(items, end_vp_types=["pos"] * len(items))
 
     def og_batch(self, items, num_objects: int = 8, obj_feat_dim: int | None = None,
                  obj_features=None, obj_labels=None):
         """Object-grounding batch (OGDataset role).  Real REVERIE object
         features/labels when provided; deterministic synthetic otherwise."""
-        batch = self.collate(items, end_steps=[len(it["path_idx"]) - 1
-                                               for it in items])
+        batch = self.collate(items, end_vp_types=["pos"] * len(items))
         B = len(items)
         d = obj_feat_dim or self.t.feat_dim
         if obj_features is None:

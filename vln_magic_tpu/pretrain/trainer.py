@@ -52,6 +52,13 @@ class PretrainTrainer:
         self.opt_state = self.opt.init(self.params)
         self._steps = {}
         self.iteration = 0
+        # dp mesh for sharded pretraining (the reference pretrains 2-GPU DDP,
+        # run_r2r_magic.sh:4-8): batches shard over 'dp', params stay
+        # tensor-parallel/replicated per parallel/sharding.py; XLA inserts
+        # the gradient psum.  Set via use_mesh().
+        self.mesh = None
+        self._sampler = None
+        self._loader = None
 
     def _dummy_batch(self):
         from ..env.synthetic import make_synthetic_instructions
@@ -166,33 +173,60 @@ class PretrainTrainer:
 
         return jax.jit(step, donate_argnums=(0, 1))
 
+    def use_mesh(self, mesh):
+        """Shard pretraining over a device mesh: replicate/TP the params,
+        dp-shard every batch (the DDP-equivalent, SURVEY §2.4)."""
+        from ..parallel import shard_params
+
+        self.mesh = mesh
+        self.params = shard_params(self.params, mesh)
+        if self.t_params is not None:
+            self.t_params = shard_params(self.t_params, mesh)
+        self.opt_state = self.opt.init(self.params)
+        return self
+
     def train_step(self, task, batch):
         if task not in self._steps:
             self._steps[task] = self._make_step(task)
         self.rng, k = jax.random.split(self.rng)
-        batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
-        self.params, self.opt_state, metrics = self._steps[task](
-            self.params, self.opt_state, self.t_params, batch, k)
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+
+            batch = {k2: shard_batch(jnp.asarray(v), self.mesh)
+                     for k2, v in batch.items()}
+            with jax.set_mesh(self.mesh):
+                self.params, self.opt_state, metrics = self._steps[task](
+                    self.params, self.opt_state, self.t_params, batch, k)
+        else:
+            batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
+            self.params, self.opt_state, metrics = self._steps[task](
+                self.params, self.opt_state, self.t_params, batch, k)
         self.iteration += 1
         return {k2: float(v) for k2, v in metrics.items()}
 
     def fit(self, items, iters, task_ratios=None, batch_size=None,
             callback=None, prefetch: int = 2):
         bs = batch_size or self.cfg.train.batch_size
-        sampler = ItemSampler(items, bs, self.cfg.train.seed)
-        loader = MetaLoader({
-            "mlm": lambda: self._fill("mlm",
-                                      self.builder.mlm_batch(sampler.next_batch())),
-            "sap": lambda: self._fill("sap",
-                                      self.builder.sap_batch(sampler.next_batch())),
-            "cfp": lambda: self._fill("cfp",
-                                      self.builder.cfp_batch(sampler.next_batch())),
-        }, ratios=task_ratios or {"mlm": 1, "sap": 1, "cfp": 1},
-            seed=self.cfg.train.seed)
+        # sampler/loader persist across fit() calls: a fresh pair per call
+        # would replay the identical item permutation and task sequence
+        # every interval
+        if self._sampler is None:
+            self._sampler = ItemSampler(items, bs, self.cfg.train.seed)
+            sampler = self._sampler
+            self._loader = MetaLoader({
+                "mlm": lambda: self._fill(
+                    "mlm", self.builder.mlm_batch(sampler.next_batch())),
+                "sap": lambda: self._fill(
+                    "sap", self.builder.sap_batch(sampler.next_batch())),
+                "cfp": lambda: self._fill(
+                    "cfp", self.builder.cfp_batch(sampler.next_batch())),
+            }, ratios=task_ratios or {"mlm": 1, "sap": 1, "cfp": 1},
+                seed=self.cfg.train.seed)
+        self._sampler.items = items
         # host->device overlap: batch N+1 transfers while step N runs
         from .loader import PrefetchLoader
 
-        stream = PrefetchLoader(loader, depth=prefetch)
+        stream = PrefetchLoader(self._loader, depth=prefetch)
         history = []
         for i, (task, batch) in zip(range(iters), stream):
             m = self.train_step(task, batch)
