@@ -73,9 +73,12 @@ def build_cfg(args, smoke):
         env=EnvConfig(max_action_len=t_steps, max_gmap_len=max_gmap,
                       max_instr_len=txt_len,
                       observed_graph_parity=args.parity),
+        # remat is mandatory for training at the honest shape: the
+        # non-remat backward needs ~27 GB of scan activations vs 15.75 GB
+        # of v5e HBM even at batch 16
         train=TrainConfig(batch_size=batch, compute_dtype=args.dtype,
                           train_alg="dagger", ml_weight=0.2, lr=4e-5,
-                          remat=args.remat),
+                          remat=args.remat or (args.train and not args.smoke)),
         distill=DistillConfig(
             train_kdl=args.train, train_teacher=args.train,
             teacher_sample_hard_mining=args.train,

@@ -167,3 +167,101 @@ def test_pretrain_to_nav_weight_flow(tmp_path):
     nav.params = loaded
     (avg, _), _ = nav.evaluate(items[:4], batch_size=4)
     assert np.isfinite(avg["nDTW"])
+
+
+def test_meter_import_populates_cross_encoders(small):
+    """METER-shaped state dict -> lang stack + BOTH cross-modal encoders'
+    crossattention/self/FFN kernels, by value (the reference remap prefixes
+    bert.{local,global}_encoder.encoder.crossattention,
+    train_r2r_magic.py:190-254)."""
+    from vln_magic_tpu.utils.hf_import import load_meter_weights
+
+    cfg, model, params = small
+    h, ffn = cfg.hidden_size, cfg.intermediate_size
+    rng = np.random.default_rng(0)
+    sd = {}
+    # text transformer stack (roberta-shaped)
+    sd["text_transformer.embeddings.word_embeddings.weight"] = \
+        rng.standard_normal((cfg.vocab_size, h)).astype(np.float32)
+    for i in range(cfg.num_l_layers):
+        s = f"text_transformer.encoder.layer.{i}"
+        for n in ("query", "key", "value"):
+            sd[f"{s}.attention.self.{n}.weight"] = rng.standard_normal(
+                (h, h)).astype(np.float32)
+            sd[f"{s}.attention.self.{n}.bias"] = np.zeros(h, np.float32)
+        sd[f"{s}.attention.output.dense.weight"] = rng.standard_normal(
+            (h, h)).astype(np.float32)
+        sd[f"{s}.attention.output.dense.bias"] = np.zeros(h, np.float32)
+        sd[f"{s}.attention.output.LayerNorm.weight"] = np.ones(h, np.float32)
+        sd[f"{s}.attention.output.LayerNorm.bias"] = np.zeros(h, np.float32)
+        sd[f"{s}.intermediate.dense.weight"] = rng.standard_normal(
+            (ffn, h)).astype(np.float32)
+        sd[f"{s}.intermediate.dense.bias"] = np.zeros(ffn, np.float32)
+        sd[f"{s}.output.dense.weight"] = rng.standard_normal(
+            (h, ffn)).astype(np.float32)
+        sd[f"{s}.output.dense.bias"] = np.zeros(h, np.float32)
+        sd[f"{s}.output.LayerNorm.weight"] = np.ones(h, np.float32)
+        sd[f"{s}.output.LayerNorm.bias"] = np.zeros(h, np.float32)
+    # cross-modal image + text layers (BertCrossLayer-shaped)
+    for i in range(cfg.num_x_layers):
+        for stack, attns in (("cross_modal_image_layers",
+                              ("attention", "crossattention")),
+                             ("cross_modal_text_layers", ("crossattention",))):
+            s = f"{stack}.{i}"
+            for attn in attns:
+                for n in ("query", "key", "value"):
+                    sd[f"{s}.{attn}.self.{n}.weight"] = rng.standard_normal(
+                        (h, h)).astype(np.float32)
+                    sd[f"{s}.{attn}.self.{n}.bias"] = np.zeros(h, np.float32)
+                sd[f"{s}.{attn}.output.dense.weight"] = rng.standard_normal(
+                    (h, h)).astype(np.float32)
+                sd[f"{s}.{attn}.output.dense.bias"] = np.zeros(h, np.float32)
+                sd[f"{s}.{attn}.output.LayerNorm.weight"] = np.ones(h, np.float32)
+                sd[f"{s}.{attn}.output.LayerNorm.bias"] = np.zeros(h, np.float32)
+            if stack == "cross_modal_image_layers":
+                sd[f"{s}.intermediate.dense.weight"] = rng.standard_normal(
+                    (ffn, h)).astype(np.float32)
+                sd[f"{s}.intermediate.dense.bias"] = np.zeros(ffn, np.float32)
+                sd[f"{s}.output.dense.weight"] = rng.standard_normal(
+                    (h, ffn)).astype(np.float32)
+                sd[f"{s}.output.dense.bias"] = np.zeros(h, np.float32)
+                sd[f"{s}.output.LayerNorm.weight"] = np.ones(h, np.float32)
+                sd[f"{s}.output.LayerNorm.bias"] = np.zeros(h, np.float32)
+
+    new_params, loaded, skipped = load_meter_weights(
+        params, sd, cfg.num_l_layers, cfg.num_x_layers)
+    flat = flatten_params(new_params)
+    # both encoders' crossattention kernels carry the METER values exactly
+    for enc in ("local_encoder", "global_encoder"):
+        np.testing.assert_allclose(
+            flat[f"params.{enc}.layer_0.crossattention.query.kernel"],
+            sd["cross_modal_image_layers.0.crossattention.self.query.weight"].T,
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            flat[f"params.{enc}.layer_0.self_attention.value.kernel"],
+            sd["cross_modal_image_layers.0.attention.self.value.weight"].T,
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            flat[f"params.{enc}.layer_0.ffn.intermediate.kernel"],
+            sd["cross_modal_image_layers.0.intermediate.dense.weight"].T,
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            flat[f"params.{enc}.layer_0.lang2visn_attention.query.kernel"],
+            sd["cross_modal_text_layers.0.crossattention.self.query.weight"].T,
+            rtol=1e-6)
+    np.testing.assert_allclose(
+        flat["params.lang_encoder.word_embeddings.embedding"],
+        sd["text_transformer.embeddings.word_embeddings.weight"], rtol=1e-6)
+    assert len(loaded) > 30
+
+
+def test_exact_path_merge_never_suffix_matches(small):
+    """merge_mapped_weights must not place a tensor whose relative path only
+    suffix-matches a model path (the round-1 endswith hazard)."""
+    from vln_magic_tpu.utils.hf_import import merge_mapped_weights
+
+    cfg, model, params = small
+    bogus = {"definitely.not.a.real.module.query.kernel":
+             np.zeros((cfg.hidden_size, cfg.hidden_size), np.float32)}
+    _, loaded, skipped = merge_mapped_weights(params, bogus)
+    assert not loaded and skipped

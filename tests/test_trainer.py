@@ -104,3 +104,50 @@ def test_lr_schedules():
     assert float(sched(100)) < 1e-4
     cfg2 = MagicConfig(train=TrainConfig(lr=1e-4))
     assert float(make_lr_schedule(cfg2)(50)) == pytest.approx(1e-4)
+
+
+def test_lookahead_and_scheds():
+    """RangerLars = Lookahead(Ralamb): slow weights sync every k steps;
+    noam / warmup_linear schedules match the reference formulas
+    (pretrain_src/optim/sched.py:10-21, rangerlars.py:97)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vln_magic_tpu.agent.trainer import (lookahead, noam_schedule,
+                                             warmup_linear_schedule)
+
+    inner = optax.sgd(0.1)
+    opt = lookahead(inner, sync_period=3, slow_step=0.5)
+    params = {"w": jnp.ones(4)}
+    state = opt.init(params)
+    grads = {"w": jnp.ones(4)}
+    seen = [params["w"][0]]
+    for i in range(6):
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        seen.append(float(params["w"][0]))
+    # plain sgd would give 1 - 0.1*t; lookahead pulls halfway back to the
+    # slow weights on steps 3 and 6
+    ref = [1.0, 0.9, 0.8, 0.85, 0.75, 0.65, 0.70]
+    np.testing.assert_allclose(seen, ref, atol=1e-6)
+
+    ns = noam_schedule(1.0, warmup=100)
+    assert float(ns(jnp.asarray(50))) == pytest.approx(0.5)
+    assert float(ns(jnp.asarray(400))) == pytest.approx(100**0.5 * 400**-0.5)
+    wl = warmup_linear_schedule(1.0, 10, 110)
+    assert float(wl(jnp.asarray(5))) == pytest.approx(0.5)
+    assert float(wl(jnp.asarray(60))) == pytest.approx(0.5)
+    assert float(wl(jnp.asarray(5000))) == pytest.approx(1e-8)
+
+
+def test_rangerlars_trains(world, items):
+    cfg = MagicConfig(
+        model=_small_model(32, 2),
+        env=EnvConfig(max_action_len=5, max_gmap_len=16),
+        train=TrainConfig(batch_size=4, lr=1e-3, train_alg="imitation",
+                          optim="rangerlars", iters=100),
+    )
+    tr = Trainer(cfg, world)
+    h = tr.fit(items[:8], 3)
+    assert all(np.isfinite(m["loss"]) for m in h)

@@ -25,12 +25,46 @@ from .navigator import episodes_from_items, pad_instructions
 from .rollout import Rollout, Tables
 
 
+def noam_schedule(lr: float, warmup: int = 4000) -> optax.Schedule:
+    """Original Transformer schedule (reference pretrain_src/optim/
+    sched.py:10-14): linear warmup then inverse-sqrt decay."""
+    warmup = max(warmup, 1)
+
+    def sched(step):
+        step = jnp.maximum(step, 1).astype(jnp.float32)
+        return lr * jnp.where(step <= warmup, step / warmup,
+                              warmup ** 0.5 * step ** -0.5)
+
+    return sched
+
+
+def warmup_linear_schedule(lr: float, warmup: int, total: int) -> optax.Schedule:
+    """BERT schedule (reference sched.py:17-21, floor 1e-8 per
+    get_lr_sched:28)."""
+    warmup = max(warmup, 1)
+
+    def sched(step):
+        step = step.astype(jnp.float32) if hasattr(step, "astype") \
+            else jnp.float32(step)
+        frac = jnp.where(
+            step < warmup, step / warmup,
+            jnp.maximum(0.0, (total - step) / max(total - warmup, 1)))
+        return jnp.maximum(lr * frac, 1e-8)
+
+    return sched
+
+
 def make_lr_schedule(cfg) -> optax.Schedule:
     """Constant by default; warmup+cosine/linear/polynomial when use_lr_sch
-    (reference agent_base.py:24-32,144-149; parser.py:203-204)."""
+    (reference agent_base.py:24-32,144-149; parser.py:203-204); plus the
+    pretrain schedules noam / warmup_linear (optim/sched.py:10-30)."""
     t = cfg.train
     if not t.use_lr_sch:
         return optax.constant_schedule(t.lr)
+    if t.lr_sch == "noam":
+        return noam_schedule(t.lr, t.warmup_iters or 4000)
+    if t.lr_sch == "warmup_linear":
+        return warmup_linear_schedule(t.lr, t.warmup_iters, t.iters)
     decay_iters = max(t.iters - t.warmup_iters, 1)
     if t.lr_sch == "cosine":
         main = optax.cosine_decay_schedule(t.lr, decay_iters)
@@ -44,6 +78,35 @@ def make_lr_schedule(cfg) -> optax.Schedule:
     return main
 
 
+def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
+              slow_step: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead wrapper (reference pretrain_src/optim/rangerlars.py:97:
+    Lookahead(k=6, alpha=0.5) around Ralamb) as a plain
+    GradientTransformation: the slow weights live in the optimizer state so
+    the param pytree is unchanged (optax.lookahead's fast/slow param pair
+    would leak into every checkpoint/sharding path)."""
+
+    def init(params):
+        return {"inner": inner.init(params),
+                "slow": jax.tree_util.tree_map(jnp.asarray, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None):
+        updates, inner_state = inner.update(grads, state["inner"], params)
+        fast = optax.apply_updates(params, updates)
+        count = state["count"] + 1
+        sync = (count % sync_period) == 0
+        new_slow = jax.tree_util.tree_map(
+            lambda s, f: jnp.where(sync, s + slow_step * (f - s), s),
+            state["slow"], fast)
+        # on sync steps the params jump to the interpolated slow weights
+        out = jax.tree_util.tree_map(
+            lambda f, s, p: jnp.where(sync, s, f) - p, fast, new_slow, params)
+        return out, {"inner": inner_state, "slow": new_slow, "count": count}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg, lr=None) -> optax.GradientTransformation:
     """Optimizer families incl. the reference's vendored research optimizers
     (pretrain_src/optim/: AdamW, RAdam, RangerLars = RAdam+LARS+Lookahead),
@@ -51,18 +114,17 @@ def make_optimizer(cfg, lr=None) -> optax.GradientTransformation:
     t = cfg.train
     sched = make_lr_schedule(cfg) if lr is None else optax.constant_schedule(lr)
 
+    ralamb = lambda: optax.chain(
+        optax.scale_by_radam(), optax.scale_by_trust_ratio(),
+        optax.scale_by_learning_rate(sched))
     opts = {
         "adamw": lambda: optax.adamw(sched, weight_decay=t.weight_decay),
         "adam": lambda: optax.adam(sched),
         "radam": lambda: optax.radam(sched),
-        # Ralamb (RAdam + LARS trust ratio) — the core of the reference's
-        # RangerLars minus the lookahead param-pair wrapper
-        "rangerlars": lambda: optax.chain(
-            optax.scale_by_radam(), optax.scale_by_trust_ratio(),
-            optax.scale_by_learning_rate(sched)),
-        "ralamb": lambda: optax.chain(
-            optax.scale_by_radam(), optax.scale_by_trust_ratio(),
-            optax.scale_by_learning_rate(sched)),
+        # RangerLars = Lookahead(Ralamb) = Lookahead(RAdam + LARS trust
+        # ratio), reference rangerlars.py:14,97
+        "rangerlars": lambda: lookahead(ralamb()),
+        "ralamb": ralamb,
         "sgd": lambda: optax.sgd(sched),
         "rms": lambda: optax.rmsprop(sched),
     }

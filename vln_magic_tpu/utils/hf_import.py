@@ -72,18 +72,120 @@ def roberta_to_lang_encoder(hf_state: dict, num_layers: int,
     return out
 
 
+def _cross_layer_map(sd: dict, src: str, dst: str) -> dict:
+    """Map one METER ``BertCrossLayer`` (cross_modal_image_layers.N) onto our
+    ``CrossModalLayer`` (models/layers.py:135): METER ``attention`` is the
+    visual self-attention, ``crossattention`` the vision-queries-language
+    attention, ``intermediate``/``output`` the FFN."""
+    out = {}
+    pairs = (("crossattention", "crossattention", "crossattention_norm"),
+             ("attention", "self_attention", "self_norm"))
+    for meter_attn, ours_attn, ours_norm in pairs:
+        if f"{src}.{meter_attn}.self.query.weight" not in sd:
+            continue
+        for name in ("query", "key", "value"):
+            out[f"{dst}.{ours_attn}.{name}.kernel"] = _t(
+                sd[f"{src}.{meter_attn}.self.{name}.weight"])
+            out[f"{dst}.{ours_attn}.{name}.bias"] = sd[
+                f"{src}.{meter_attn}.self.{name}.bias"]
+        out[f"{dst}.{ours_attn}.out.kernel"] = _t(
+            sd[f"{src}.{meter_attn}.output.dense.weight"])
+        out[f"{dst}.{ours_attn}.out.bias"] = sd[
+            f"{src}.{meter_attn}.output.dense.bias"]
+        out[f"{dst}.{ours_norm}.LayerNorm_0.scale"] = sd[
+            f"{src}.{meter_attn}.output.LayerNorm.weight"]
+        out[f"{dst}.{ours_norm}.LayerNorm_0.bias"] = sd[
+            f"{src}.{meter_attn}.output.LayerNorm.bias"]
+    if f"{src}.intermediate.dense.weight" in sd:
+        out[f"{dst}.ffn.intermediate.kernel"] = _t(
+            sd[f"{src}.intermediate.dense.weight"])
+        out[f"{dst}.ffn.intermediate.bias"] = sd[f"{src}.intermediate.dense.bias"]
+        out[f"{dst}.ffn.output.kernel"] = _t(sd[f"{src}.output.dense.weight"])
+        out[f"{dst}.ffn.output.bias"] = sd[f"{src}.output.dense.bias"]
+        out[f"{dst}.ffn_norm.LayerNorm_0.scale"] = sd[
+            f"{src}.output.LayerNorm.weight"]
+        out[f"{dst}.ffn_norm.LayerNorm_0.bias"] = sd[f"{src}.output.LayerNorm.bias"]
+    return out
+
+
+def meter_to_params(meter_state: dict, num_l_layers: int, num_x_layers: int,
+                    jump_init: bool = False) -> dict:
+    """Map a METER checkpoint (``meter_clip16_224_roberta_pretrain.ckpt``
+    state_dict) onto the flat relative names of our model: the
+    ``text_transformer`` stack -> lang_encoder (with ``jump_init_txt``
+    even-layer skip for shallower students) and each
+    ``cross_modal_image_layers.N`` -> BOTH ``local_encoder.layer_N`` and
+    ``global_encoder.layer_N``, exactly the reference's remap prefixes
+    (train_r2r_magic.py:190-254: bert.lang_encoder,
+    bert.{local,global}_encoder.encoder.crossattention)."""
+    sd = {k: np.asarray(v) for k, v in meter_state.items()}
+    txt = {k.removeprefix("text_transformer."): v for k, v in sd.items()
+           if k.startswith("text_transformer.")}
+    out = roberta_to_lang_encoder(txt, num_l_layers, jump_init)
+    for i in range(num_x_layers):
+        src = f"cross_modal_image_layers.{i}"
+        for enc in ("local_encoder", "global_encoder"):
+            out.update(_cross_layer_map(sd, src, f"{enc}.layer_{i}"))
+        # METER's text-side cross layers are text-queries-image — our
+        # lang2visn attention (use_lang2visn_attn, model config:27)
+        tsrc = f"cross_modal_text_layers.{i}"
+        if f"{tsrc}.crossattention.self.query.weight" in sd:
+            for enc in ("local_encoder", "global_encoder"):
+                dst = f"{enc}.layer_{i}"
+                for name in ("query", "key", "value"):
+                    out[f"{dst}.lang2visn_attention.{name}.kernel"] = _t(
+                        sd[f"{tsrc}.crossattention.self.{name}.weight"])
+                    out[f"{dst}.lang2visn_attention.{name}.bias"] = sd[
+                        f"{tsrc}.crossattention.self.{name}.bias"]
+                out[f"{dst}.lang2visn_attention.out.kernel"] = _t(
+                    sd[f"{tsrc}.crossattention.output.dense.weight"])
+                out[f"{dst}.lang2visn_attention.out.bias"] = sd[
+                    f"{tsrc}.crossattention.output.dense.bias"]
+                out[f"{dst}.lang2visn_norm.LayerNorm_0.scale"] = sd[
+                    f"{tsrc}.crossattention.output.LayerNorm.weight"]
+                out[f"{dst}.lang2visn_norm.LayerNorm_0.bias"] = sd[
+                    f"{tsrc}.crossattention.output.LayerNorm.bias"]
+    return out
+
+
+def merge_mapped_weights(params, mapped: dict):
+    """Exact-path merge of {relative_name: array} into a param tree.  The
+    tree root may be ``params.`` (navigator) or ``params.bert.`` (pretrain
+    model, the reference's ``bert.`` trunk prefix); both are probed with
+    EXACT names — no suffix matching, so same-suffix submodules can never
+    mis-link.  Returns (new_params, loaded_names, skipped_names)."""
+    flat = flatten_params(params)
+    loaded, skipped = [], []
+    for name, arr in mapped.items():
+        for full in (f"params.{name}", f"params.bert.{name}"):
+            if full in flat:
+                if flat[full].shape == np.shape(arr):
+                    flat[full] = np.asarray(arr, dtype=flat[full].dtype)
+                    loaded.append(full)
+                else:
+                    skipped.append(full)
+                break
+        else:
+            skipped.append(name)
+    nested, _, _ = unflatten_params(flat)
+    return nested, loaded, skipped
+
+
 def load_roberta_weights(params, hf_state: dict, num_layers: int,
                          jump_init: bool = False):
     """Merge mapped RoBERTa weights into an existing param tree; returns
     (new_params, loaded_names)."""
     mapped = roberta_to_lang_encoder(hf_state, num_layers, jump_init)
-    flat = flatten_params(params)
-    loaded = []
-    for name, arr in mapped.items():
-        matches = [k for k in flat if k.endswith(name)]
-        for k in matches:
-            if flat[k].shape == arr.shape:
-                flat[k] = arr.astype(flat[k].dtype)
-                loaded.append(k)
-    nested, _, _ = unflatten_params(flat)
+    nested, loaded, _ = merge_mapped_weights(params, mapped)
     return nested, loaded
+
+
+def load_meter_weights(params, meter_state: dict, num_l_layers: int,
+                       num_x_layers: int, jump_init: bool = False):
+    """Merge a METER checkpoint into a param tree: language stack + both
+    cross-modal encoders' attention/FFN kernels (the reference's
+    init_pretrained='meter' path, train_r2r_magic.py:183-254).  Returns
+    (new_params, loaded_names, skipped_names)."""
+    mapped = meter_to_params(meter_state, num_l_layers, num_x_layers,
+                             jump_init)
+    return merge_mapped_weights(params, mapped)
