@@ -37,8 +37,36 @@ class ImageFeatureStore:
                 ft = f[key][...][:, : self.dim].astype(np.float32)
             self._cache[key] = ft
             return ft
+        if self.file_type == "lmdb":
+            ft = self._lmdb_get(key)
+            self._cache[key] = ft
+            return ft
         self._load_tsv()
         return self._cache[key]
+
+    def _lmdb_get(self, key: str) -> np.ndarray:
+        """LMDB-backed read (the reference's third reader family,
+        pretrain_src/data/dataset.py:818-884: msgpack-encoded arrays keyed by
+        scan_vp).  Gated on the ``lmdb`` package being importable."""
+        try:
+            import lmdb
+        except ImportError as e:
+            raise ImportError(
+                "file_type='lmdb' needs the lmdb package; re-export the "
+                "features to HDF5/TSV or install lmdb") from e
+        import msgpack
+
+        if not hasattr(self, "_lmdb_env"):
+            self._lmdb_env = lmdb.open(self.path, readonly=True, lock=False)
+        with self._lmdb_env.begin() as txn:
+            raw = txn.get(key.encode("ascii"))
+            if raw is None:
+                raise KeyError(key)
+            blob = msgpack.unpackb(raw, raw=False)
+            arr = np.frombuffer(
+                blob["data"], dtype=np.dtype(blob["dtype"])).reshape(
+                blob["shape"])
+        return np.asarray(arr[:, : self.dim], np.float32)
 
     def _load_tsv(self):
         if self._tsv_loaded:

@@ -97,3 +97,73 @@ def load_quantized(path: str):
         return node
 
     return dequantize_params(rebuild(nested))
+
+
+# ----- product quantization (fairseq modules/quantization/pq, the EM
+#       codebook learner: split each row into M subvectors, k-means each
+#       block, store uint8 codes + centroid tables) -----
+
+class ProductQuantizer:
+    """PQ for 2-D weight matrices: columns split into ``num_blocks`` groups,
+    each group's subvectors clustered into ``num_centroids`` codewords.
+
+    Compression: [R, C] f32 -> [R, M] uint8 codes + [M, K, C/M] centroids.
+    """
+
+    def __init__(self, num_blocks: int = 4, num_centroids: int = 256,
+                 iters: int = 12, seed: int = 0):
+        assert num_centroids <= 256, "codes are uint8"
+        self.M = num_blocks
+        self.K = num_centroids
+        self.iters = iters
+        self.seed = seed
+        self.centroids = None   # [M, K, sub]
+
+    def fit(self, w: np.ndarray) -> "ProductQuantizer":
+        w = np.asarray(w, np.float32)
+        r, c = w.shape
+        assert c % self.M == 0, f"{c} columns not divisible by {self.M} blocks"
+        sub = c // self.M
+        rng = np.random.default_rng(self.seed)
+        cents = []
+        for m in range(self.M):
+            x = w[:, m * sub : (m + 1) * sub]
+            k = min(self.K, len(x))
+            cent = x[rng.choice(len(x), k, replace=False)].copy()
+            for _ in range(self.iters):   # lloyd iterations
+                d = ((x[:, None, :] - cent[None]) ** 2).sum(-1)
+                assign = d.argmin(1)
+                for j in range(k):
+                    sel = assign == j
+                    if sel.any():
+                        cent[j] = x[sel].mean(0)
+            if k < self.K:                # pad the codebook
+                cent = np.concatenate(
+                    [cent, np.repeat(cent[-1:], self.K - k, axis=0)])
+            cents.append(cent)
+        self.centroids = np.stack(cents)
+        return self
+
+    def encode(self, w: np.ndarray) -> np.ndarray:
+        w = np.asarray(w, np.float32)
+        sub = w.shape[1] // self.M
+        codes = np.empty((w.shape[0], self.M), np.uint8)
+        for m in range(self.M):
+            x = w[:, m * sub : (m + 1) * sub]
+            d = ((x[:, None, :] - self.centroids[m][None]) ** 2).sum(-1)
+            codes[:, m] = d.argmin(1).astype(np.uint8)
+        return codes
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        return np.concatenate(
+            [self.centroids[m][codes[:, m]] for m in range(self.M)], axis=1)
+
+    def state(self) -> dict:
+        return {"centroids": self.centroids, "num_blocks": self.M,
+                "num_centroids": self.K}
+
+    @classmethod
+    def from_state(cls, state: dict) -> "ProductQuantizer":
+        pq = cls(int(state["num_blocks"]), int(state["num_centroids"]))
+        pq.centroids = np.asarray(state["centroids"], np.float32)
+        return pq
