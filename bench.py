@@ -69,6 +69,7 @@ def build_cfg(args, smoke):
             hidden_size=t_hidden, num_attention_heads=t_heads,
             num_l_layers=layers, num_pano_layers=pl, num_x_layers=xl,
             image_feat_size=feat, kd_heads=True, kd_target_size=hidden,
+            use_pallas_attention=args.pallas_teacher and not smoke,
         ) if args.train else None,
         env=EnvConfig(max_action_len=t_steps, max_gmap_len=max_gmap,
                       max_instr_len=txt_len,
@@ -103,6 +104,9 @@ def main():
     ap.add_argument("--pallas", action="store_true", default=False,
                     help="fused pallas attention (wins for many-head models; "
                          "the 2-head MAGIC-S is faster on plain XLA)")
+    ap.add_argument("--pallas_teacher", action="store_true", default=False,
+                    help="fused pallas attention for the 12-head teacher "
+                         "only (--train mode)")
     ap.add_argument("--parity", action="store_true", default=False,
                     help="observed-subgraph graph semantics (GraphMap parity)")
     ap.add_argument("--profile", default=None,

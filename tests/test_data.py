@@ -39,6 +39,14 @@ def test_rxr_english_filter(tmp_path):
     items = construct_instrs(str(tmp_path), "rxr", ["val_seen"],
                              HashTokenizer(1000))
     assert len(items) == 1 and items[0]["instr_id"] == "1"
+    # multilingual: explicit langs keep the Hindi split; None keeps all
+    items = construct_instrs(str(tmp_path), "rxr", ["val_seen"],
+                             HashTokenizer(1000), langs=("en", "hi"))
+    assert len(items) == 2
+    assert {it["language"] for it in items} == {"en-US", "hi-IN"}
+    items = construct_instrs(str(tmp_path), "rxr", ["val_seen"],
+                             HashTokenizer(1000), langs=None)
+    assert len(items) == 2
 
 
 def test_tsv_feature_roundtrip(tmp_path):
@@ -77,3 +85,37 @@ def test_cli_parser_accepts_reference_flags():
     ])
     assert args.train_kdl and args.student_hidden_size == 128
     assert args.expert_policy == "ndtw"
+
+
+def test_object_store_hdf5_roundtrip(tmp_path):
+    """ObjectFeatureStore reads back write_hdf5_object_features exactly,
+    including id/direction/size attrs and the max_objects truncation
+    (reference obj store contract, pretrain_src/data/dataset.py:845-884)."""
+    import numpy as np
+
+    from vln_magic_tpu.data.features import (ObjectFeatureStore,
+                                             write_hdf5_object_features)
+
+    rng = np.random.default_rng(0)
+    objs = {}
+    for key in ("scanA_vp0", "scanA_vp1"):
+        n = int(rng.integers(3, 7))
+        objs[key] = (rng.standard_normal((n, 8)).astype(np.float32),
+                     [str(i * 7) for i in range(n)],
+                     rng.uniform(-1, 1, (n, 2)).astype(np.float32),
+                     rng.uniform(10, 300, (n, 2)).astype(np.float32))
+    path = str(tmp_path / "objs.h5")
+    write_hdf5_object_features(path, objs)
+
+    store = ObjectFeatureStore(path, obj_feat_size=8, max_objects=4)
+    fts, attrs = store.get("scanA", "vp0")
+    want_fts, want_ids, want_dirs, want_sizes = objs["scanA_vp0"]
+    m = min(4, len(want_fts))
+    assert fts.shape == (m, 8)
+    np.testing.assert_allclose(fts, want_fts[:m])
+    assert attrs["obj_ids"] == want_ids[:m]
+    np.testing.assert_allclose(attrs["directions"], want_dirs[:m])
+    np.testing.assert_allclose(attrs["sizes"], want_sizes[:m])
+    # missing key -> empty objects, not an error
+    fts2, attrs2 = store.get("scanA", "vp_missing")
+    assert fts2.shape == (0, 8) and attrs2["obj_ids"] == []

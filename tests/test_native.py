@@ -79,3 +79,16 @@ def test_batch_by_size_token_cap():
 def test_batch_by_size_sentence_cap():
     batches = native.batch_by_size([1] * 10, max_sentences=3)
     assert [len(b) for b in batches] == [3, 3, 3, 1]
+
+
+def test_wer_scorer():
+    from vln_magic_tpu.native import wer
+
+    # identical -> 0; one sub in 4 words -> 0.25; corpus-pooled
+    assert wer(["a b c d"], ["a b c d"]) == 0.0
+    assert wer(["a b x d"], ["a b c d"]) == 0.25
+    # 1 sub + 1 del over 8 ref words = 0.25
+    assert wer(["a b x d", "a b c"], ["a b c d", "a b c d"]) == 0.25
+    # token-id input path
+    assert wer([[1, 2, 3]], [[1, 2, 4]]) == pytest.approx(1 / 3)
+    assert wer([], []) == 0.0

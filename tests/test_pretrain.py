@@ -190,3 +190,64 @@ def test_sap_training_still_converges(world, items):
         losses.append(tr.train_step("sap", batch)["loss"])
     assert np.isfinite(losses).all()
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_reverie_object_ingestion(world):
+    """End-to-end REVERIE object grounding: store -> builder -> labels.
+    Labels are the gt objId's index among the endpoint's objects
+    (get_obj_label, reference dataset.py:307-319), -100 when absent."""
+    from vln_magic_tpu.data import HashObjectStore
+    from vln_magic_tpu.env.synthetic import make_synthetic_reverie_items
+
+    store = HashObjectStore(obj_feat_size=16, max_objects=6, seed=5)
+    items = make_synthetic_reverie_items(
+        world, 12, np.random.default_rng(8), store, vocab_size=300,
+        min_path=2, max_path=4)
+    assert all("pos_vps_idx" in it and "objId" in it for it in items)
+
+    b = PathDataBuilder(world, max_steps=6, max_gmap=24, max_txt=32,
+                        vocab_size=300, seed=2, obj_db=store)
+    batch = b.og_batch(items[:8])
+    B, M = 8, 6
+    assert batch["obj_fts"].shape == (B, M, 16)
+    assert batch["obj_loc_fts"].shape == (B, M, b.afs + 3)
+    labeled = absent = 0
+    for i in range(B):
+        lab = int(batch["og_labels"][i])
+        if lab == -100:
+            absent += 1
+            continue
+        labeled += 1
+        assert batch["obj_masks"][i, lab]
+        # the label indexes the gt object: re-fetch and compare features
+        it = items[i]
+        g = world.graphs[it["scan_idx"]]
+        vp = g.node_ids[int(batch["end_node"][i])]
+        fts, attrs = store.get(g.scan, vp)
+        assert attrs["obj_ids"][lab] == it["objId"]
+        np.testing.assert_allclose(batch["obj_fts"][i, lab], fts[lab])
+    assert labeled >= 1   # most items ground a real object
+
+
+def test_reverie_og_pretraining_converges(world):
+    from vln_magic_tpu.data import HashObjectStore
+    from vln_magic_tpu.env.synthetic import make_synthetic_reverie_items
+
+    store = HashObjectStore(obj_feat_size=16, max_objects=5, seed=9)
+    items = make_synthetic_reverie_items(
+        world, 10, np.random.default_rng(3), store, vocab_size=300,
+        min_path=2, max_path=4)
+    cfg = _cfg()
+    tr = PretrainTrainer(cfg, world, image_prob_size=50,
+                         builder_kwargs=dict(max_steps=5, max_gmap=16,
+                                             max_txt=32, obj_db=store))
+    batch = tr._fill("og", tr.builder.og_batch(items[:4]))
+    m1 = tr.train_step("og", batch)
+    for _ in range(9):
+        m = tr.train_step("og", batch)
+    assert np.isfinite(m["loss"]) and m["loss"] < m1["loss"]
+    # og joins the task mix and the validators when an obj_db is attached
+    hist = tr.fit(items, iters=6)
+    assert {h["task"] for h in hist} <= {"mlm", "sap", "cfp", "og"}
+    val = tr.validate(items, num_batches=1)
+    assert "og_acc" in val and 0.0 <= val["og_acc"] <= 1.0

@@ -71,3 +71,34 @@ def test_speaker_overfits_tiny_corpus(setup):
     for _ in range(60):
         loss = sp.train_step(batch, tok)
     assert loss < 1.0, f"speaker failed to overfit (loss {loss})"
+
+
+def test_sampled_decode_temperature(setup):
+    """EnvDrop-style sampled back-translation: temperature is a traced
+    scalar (no recompile across the schedule); near-zero temperature
+    collapses sampling onto the greedy decode; the schedule anneals."""
+    world, items = setup
+    tok = SpeakerTokenizer.build(items)
+    sp = Speaker(world, feat_dim=16, vocab_size=tok.vocab_size, max_steps=4,
+                 max_len=12, hidden=64, layers=1, heads=2)
+    import jax
+
+    greedy = sp.infer_batch(items[:4], tok)
+    cold = sp.infer_batch(items[:4], tok, sample=True, temperature=1e-4,
+                          rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(cold, greedy)
+    hot_a = sp.infer_batch(items[:4], tok, sample=True, temperature=5.0,
+                           rng=jax.random.PRNGKey(1))
+    hot_b = sp.infer_batch(items[:4], tok, sample=True, temperature=5.0,
+                           rng=jax.random.PRNGKey(2))
+    assert (hot_a != hot_b).any()   # hot sampling actually samples
+
+    t0 = Speaker.sample_temperature(0, 100, start=1.0, end=0.5)
+    t1 = Speaker.sample_temperature(50, 100, start=1.0, end=0.5)
+    t2 = Speaker.sample_temperature(100, 100, start=1.0, end=0.5)
+    assert t0 == 1.0 and t2 == 0.5 and t2 < t1 < t0
+
+    # sampled back-translation path
+    new_items, _ = sp.back_translate(items[:4], tok, sample=True,
+                                     temperature=t1)
+    assert len(new_items) == 4

@@ -101,6 +101,7 @@ class Speaker:
         self.opt_state = self.opt.init(self.params)
         self._train_step = None
         self._infer = None
+        self._infer_sample = False
 
     # ----- feature assembly (from_shortest_path, transpeaker.py:159) -----
 
@@ -189,19 +190,30 @@ class Speaker:
     # ----- inference / back-translation -----
 
     def infer_batch(self, items, tok: SpeakerTokenizer, noise=None,
-                    sample=False, rng=None):
-        if self._infer is None:
+                    sample=False, rng=None, temperature: float = 1.0):
+        if self._infer is None or self._infer_sample != sample:
             self._infer = jax.jit(
-                lambda p, c, pn, m, r: greedy_decode(
+                lambda p, c, pn, m, r, t: greedy_decode(
                     self.model, p, c, pn, m, self.L, tok.BOS, tok.EOS, r,
-                    sample),
-                static_argnames=())
+                    sample, t))
+            self._infer_sample = sample
         cand, pano, masks = self.path_features(items, noise=noise)
         if rng is None:
             self.rng, rng = jax.random.split(self.rng)
         tokens = self._infer(self.params, jnp.asarray(cand), jnp.asarray(pano),
-                             jnp.asarray(masks), rng)
+                             jnp.asarray(masks), rng,
+                             jnp.float32(temperature))
         return np.asarray(tokens)
+
+    @staticmethod
+    def sample_temperature(iteration: int, total_iters: int,
+                           start: float = 1.0, end: float = 0.5) -> float:
+        """EnvDrop-style sampling-temperature decay for back-translation:
+        exploratory (hot) generations early, near-greedy late.  Linear in
+        training progress; the decode jit takes temperature as a traced
+        scalar so the schedule never recompiles."""
+        frac = min(max(iteration / max(total_iters, 1), 0.0), 1.0)
+        return start + (end - start) * frac
 
     def evaluate(self, items, tok: SpeakerTokenizer):
         """Corpus BLEU-4 of greedy generations against gt instructions
@@ -214,10 +226,13 @@ class Speaker:
         return bleu_score(hyps, refs)
 
     def back_translate(self, items, tok: SpeakerTokenizer, rng=None,
-                       beam: int = 0):
+                       beam: int = 0, sample: bool = False,
+                       temperature: float = 1.0):
         """Replace instructions with speaker generations under feature
         dropout noise (the rollout's self-train path, agent.py:737-752).
-        ``beam > 1`` uses beam search and keeps the best hypothesis.
+        ``beam > 1`` uses beam search and keeps the best hypothesis;
+        ``sample=True`` draws at ``temperature`` (see ``sample_temperature``
+        for the EnvDrop-style decay schedule).
         Returns new item dicts with regenerated instruction text."""
         nprng = np.random.default_rng(0 if rng is None else rng)
         noise = self.drop_env_noise(nprng)
@@ -232,7 +247,8 @@ class Speaker:
                                   self.L, tok.BOS, tok.EOS, beam=beam)
             tokens = np.asarray(toks[:, 0])
         else:
-            tokens = self.infer_batch(items, tok, noise=noise)
+            tokens = self.infer_batch(items, tok, noise=noise, sample=sample,
+                                      temperature=temperature)
         out = []
         for it, row in zip(items, tokens):
             new = dict(it)

@@ -87,8 +87,12 @@ def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
     would leak into every checkpoint/sharding path)."""
 
     def init(params):
+        # a REAL copy: jnp.asarray would alias the param buffers, and an
+        # aliased slow state + donate_argnums on (params, opt_state) is a
+        # double donation of one buffer (XLA INVALID_ARGUMENT)
         return {"inner": inner.init(params),
-                "slow": jax.tree_util.tree_map(jnp.asarray, params),
+                "slow": jax.tree_util.tree_map(
+                    lambda p: jnp.array(p, copy=True), params),
                 "count": jnp.zeros((), jnp.int32)}
 
     def update(grads, state, params=None):

@@ -35,6 +35,10 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mode", type=str, required=True)
     p.add_argument("--tokenizer", default="roberta")
+    # RxR language filter; the reference hard-codes English
+    # (data_utils.py:163-178).  "en hi te" or "all" keeps multilingual
+    # splits (RxR ships XLM-R encodings, so no retokenization needed).
+    p.add_argument("--langs", nargs="+", default=["en"])
     p.add_argument("--iters", type=int, default=200000)
     p.add_argument("--log_every", type=int, default=1000)
     p.add_argument("--eval_first", action="store_true", default=False)
@@ -164,7 +168,8 @@ def build_dataset(args, cfg):
             try:
                 splits[split] = construct_instrs(
                     args.anno_dir, args.dataset, [split], tok,
-                    args.max_instr_len, args.for_debug)
+                    args.max_instr_len, args.for_debug,
+                    langs=None if "all" in args.langs else tuple(args.langs))
             except FileNotFoundError:
                 continue
         # EnvEdit/aug annotation file for the aug-alternation env

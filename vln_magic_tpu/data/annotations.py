@@ -18,7 +18,12 @@ import numpy as np
 
 
 def load_instr_datasets(anno_dir: str, dataset: str, splits, tokenizer=None,
-                        for_debug: bool = False):
+                        for_debug: bool = False, langs=("en",)):
+    """``langs``: language-tag prefixes to keep for RxR.  The reference
+    hard-filters to English (data_utils.py:163-178); passing e.g.
+    ("en", "hi", "te") keeps the multilingual splits (RxR ships an XLM-R
+    encoding per instruction, so no re-tokenization is needed), and
+    ``langs=None`` keeps everything."""
     data = []
     for split in splits:
         if dataset == "r2r":
@@ -34,8 +39,8 @@ def load_instr_datasets(anno_dir: str, dataset: str, splits, tokenizer=None,
                 for line in f:
                     if line.strip():
                         item = json.loads(line)
-                        # English-only filtering (data_utils.py:163-178)
-                        if "en" in item.get("language", "en"):
+                        lang = item.get("language", "en")
+                        if langs is None or any(l in lang for l in langs):
                             items.append(item)
         else:
             raise ValueError(dataset)
@@ -46,11 +51,12 @@ def load_instr_datasets(anno_dir: str, dataset: str, splits, tokenizer=None,
 
 
 def construct_instrs(anno_dir: str, dataset: str, splits, tokenizer=None,
-                     max_instr_len: int = 200, for_debug: bool = False):
+                     max_instr_len: int = 200, for_debug: bool = False,
+                     langs=("en",)):
     """One flat item per instruction, reference schema."""
     out = []
     for split, items in load_instr_datasets(anno_dir, dataset, splits,
-                                            for_debug=for_debug):
+                                            for_debug=for_debug, langs=langs):
         for item in items:
             if dataset == "r2r":
                 for j, instr in enumerate(item["instructions"]):
@@ -80,6 +86,7 @@ def construct_instrs(anno_dir: str, dataset: str, splits, tokenizer=None,
                     "path": item["path"],
                     "heading": item.get("heading", 0.0),
                     "instruction": item["instruction"],
+                    "language": item.get("language", "en"),
                     "instr_encoding": np.asarray(enc[:max_instr_len],
                                                  dtype=np.int32),
                 })

@@ -110,6 +110,138 @@ class HashFeatureStore:
         return fn
 
 
+class ObjectFeatureStore:
+    """REVERIE object-feature store: ``get(scan, vp) -> (fts, attrs)`` where
+    ``fts`` is [n_obj, obj_feat(+prob)] and ``attrs`` carries ``obj_ids``
+    (strings), ``directions`` [n, 2] (heading/elevation) and ``sizes``
+    [n, 2] (w, h in pixels).
+
+    Counterpart of the reference's object store (reference:
+    pretrain_src/data/dataset.py:224-244 get_scanvp_feature obj branch,
+    :845-884 load_obj_feats: LMDB msgpack records with fts / centers /
+    bboxes / obj_ids).  Supports the reference LMDB layout and an HDF5
+    layout (dataset per key, attrs on the dataset).
+    """
+
+    def __init__(self, path: str, obj_feat_size: int, max_objects: int = 20,
+                 file_type: str = "hdf5"):
+        self.path = path
+        self.dim = obj_feat_size
+        self.max_objects = max_objects
+        self.file_type = file_type
+        self._cache = {}
+
+    def get(self, scan: str, viewpoint: str):
+        key = f"{scan}_{viewpoint}"
+        if key in self._cache:
+            return self._cache[key]
+        empty = (np.zeros((0, self.dim), np.float32),
+                 {"obj_ids": [], "directions": np.zeros((0, 2), np.float32),
+                  "sizes": np.zeros((0, 2), np.float32)})
+        if self.file_type == "hdf5":
+            import h5py
+
+            with h5py.File(self.path, "r") as f:
+                if key not in f:
+                    out = empty
+                else:
+                    ds = f[key]
+                    m = self.max_objects
+                    fts = ds[...][:m, : self.dim].astype(np.float32)
+                    attrs = {
+                        "obj_ids": [x.decode() if isinstance(x, bytes)
+                                    else str(x) for x in
+                                    np.asarray(ds.attrs["obj_ids"])[:m]],
+                        "directions": np.asarray(
+                            ds.attrs.get("centers",
+                                         np.zeros((len(fts), 2))),
+                            np.float32)[:m],
+                        "sizes": self._sizes_from(ds.attrs, len(fts)),
+                    }
+                    out = (fts, attrs)
+        elif self.file_type == "lmdb":
+            out = self._lmdb_get(key, empty)
+        else:
+            raise ValueError(self.file_type)
+        self._cache[key] = out
+        return out
+
+    def _sizes_from(self, attrs, n):
+        if "sizes" in attrs:
+            return np.asarray(attrs["sizes"], np.float32)[: self.max_objects]
+        if "bboxes" in attrs:
+            bb = np.asarray(attrs["bboxes"], np.float32)[: self.max_objects]
+            # bbox -> (w, h), the reference derivation (dataset.py:963-966)
+            return np.stack([bb[:, 2] - bb[:, 0], bb[:, 3] - bb[:, 1]], 1)
+        return np.zeros((n, 2), np.float32)
+
+    def _lmdb_get(self, key, empty):
+        try:
+            import lmdb
+        except ImportError as e:
+            raise ImportError(
+                "file_type='lmdb' needs the lmdb package; re-export the "
+                "object features to HDF5") from e
+        import msgpack
+
+        if not hasattr(self, "_lmdb_env"):
+            self._lmdb_env = lmdb.open(self.path, readonly=True, lock=False)
+        with self._lmdb_env.begin() as txn:
+            raw = txn.get(key.encode("ascii"))
+        if raw is None:
+            return empty
+        d = msgpack.unpackb(raw, raw=False)
+        m = self.max_objects
+        fts = np.asarray(d["fts"], np.float32)[:m, : self.dim]
+        attrs = {
+            "obj_ids": [str(x) for x in d.get("obj_ids", [])[:m]],
+            "directions": np.asarray(
+                d.get("centers", np.zeros((len(fts), 2))), np.float32)[:m],
+            "sizes": self._sizes_from(d, len(fts)),
+        }
+        return fts, attrs
+
+
+class HashObjectStore:
+    """Deterministic pseudo-objects for dataset-free REVERIE runs (same role
+    as HashFeatureStore: SURVEY §4's synthetic backend)."""
+
+    def __init__(self, obj_feat_size: int, max_objects: int = 20,
+                 seed: int = 0, min_objects: int = 2):
+        self.dim = obj_feat_size
+        self.max_objects = max_objects
+        self.min_objects = min_objects
+        self.seed = seed
+
+    def get(self, scan: str, viewpoint: str):
+        import zlib
+
+        h = zlib.crc32(f"obj|{scan}|{viewpoint}|{self.seed}".encode()) & 0x7FFFFFFF
+        r = np.random.default_rng(h)
+        n = int(r.integers(self.min_objects, self.max_objects + 1))
+        fts = r.standard_normal((n, self.dim)).astype(np.float32) * 0.5
+        attrs = {
+            "obj_ids": [str(int(x)) for x in r.integers(0, 10000, n)],
+            "directions": r.uniform(-np.pi, np.pi, (n, 2)).astype(np.float32),
+            "sizes": r.uniform(20, 400, (n, 2)).astype(np.float32),
+        }
+        return fts, attrs
+
+
+def write_hdf5_object_features(path: str, objs: dict):
+    """Writer for the HDF5 object layout (test fixtures): ``objs`` maps
+    "{scan}_{vp}" -> (fts [n, d], obj_ids list[str], centers [n, 2],
+    sizes [n, 2])."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        for key, (fts, obj_ids, centers, sizes) in objs.items():
+            ds = f.create_dataset(key, data=np.asarray(fts, np.float32))
+            ds.attrs["obj_ids"] = np.asarray(obj_ids, dtype="S")
+            ds.attrs["centers"] = np.asarray(centers, np.float32)
+            ds.attrs["sizes"] = np.asarray(sizes, np.float32)
+
+
 def write_tsv_features(path: str, feats: dict[str, np.ndarray]):
     """Writer for the reference TSV layout (test fixtures + CFP exports)."""
     fields = ["scanId", "viewpointId", "image_w", "image_h", "vfov", "features"]

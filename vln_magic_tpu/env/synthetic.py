@@ -119,3 +119,31 @@ def make_synthetic_instructions(
             ).astype(np.int32),
         })
     return items
+
+
+def make_synthetic_reverie_items(world, num_items, rng, obj_store, **kw):
+    """REVERIE-style items: positive viewpoint sets + a target object id at
+    the endpoint (reference ReverieTextPathData expectations: ``pos_vps``
+    per item, ``objId`` recoverable from ``instr_id`` =
+    pathId_objId_instrId, pretrain_src/data/dataset.py:203,307-319).  The
+    target object is drawn from ``obj_store`` at the endpoint so object
+    grounding has real labels; ~10% of items reference an absent object
+    (the reference's -100 ignore path)."""
+    items = make_synthetic_instructions(world, num_items, rng, **kw)
+    t = world.tables
+    for k, it in enumerate(items):
+        si = it["scan_idx"]
+        g = world.graphs[si]
+        end = int(it["path_idx"][-1])
+        near = np.flatnonzero(np.asarray(t.node_mask[si])
+                              & (np.asarray(t.dist[si, end]) < 3.0))
+        it["pos_vps_idx"] = [end] + [int(n) for n in near if n != end][:2]
+        _, attrs = obj_store.get(g.scan, g.node_ids[end])
+        ids = attrs["obj_ids"]
+        if len(ids) and rng.random() < 0.9:
+            objid = str(ids[int(rng.integers(len(ids)))])
+        else:
+            objid = "absent"
+        it["objId"] = objid
+        it["instr_id"] = f"{it['path_id']}_{objid}_{k}"
+    return items

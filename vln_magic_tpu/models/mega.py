@@ -90,12 +90,18 @@ class MovingAverageGatedAttention(nn.Module):
         ctx = ctx.reshape(b, n_chunks * c, v_dim)[:, :l]
 
         # --- gated output (reset/update gates from the EMA stream) ---
+        # gamma/beta_g are Mega's per-gate scale/offset calibration: row 0
+        # calibrates the reset-gate stream, row 1 the attention context
+        # entering the candidate projection (reference moving_average_gated_
+        # attention.py's per-stream rescale before gating).
         gamma = self.param("gamma", nn.initializers.normal(0.02), (2, v_dim))
         beta_g = self.param("beta_g", nn.initializers.zeros, (2, v_dim))
-        reset = nn.silu(nn.Dense(v_dim, dtype=self.dtype, name="reset")(mx))
+        reset = nn.silu(
+            nn.Dense(v_dim, dtype=self.dtype, name="reset")(mx)
+            * (1.0 + gamma[0]) + beta_g[0])
         update = nn.sigmoid(nn.Dense(d, dtype=self.dtype, name="update")(mx))
         h = nn.silu(nn.Dense(d, dtype=self.dtype, name="h_proj")(
-            ctx * reset))
+            (ctx * (1.0 + gamma[1]) + beta_g[1]) * reset))
         out = update * h + (1.0 - update) * x
         return nn.LayerNorm(dtype=self.dtype, name="norm")(out)
 

@@ -187,10 +187,13 @@ def beam_decode(model, params, cand_feats, pano_feats, step_masks,
 
 
 def greedy_decode(model, params, cand_feats, pano_feats, step_masks,
-                  max_len: int, bos: int, eos: int, rng=None, sample=False):
+                  max_len: int, bos: int, eos: int, rng=None, sample=False,
+                  temperature=1.0):
     """Fixed-length greedy/sampled decoding (infer_batch, transpeaker.py:252).
     Recomputes the decoder per position under ``lax.scan`` — cheap at these
-    lengths, and fully static-shaped for XLA."""
+    lengths, and fully static-shaped for XLA.  ``temperature`` scales the
+    sampling distribution (EnvDrop-style back-translation noise; traced, so
+    schedules don't recompile)."""
     b = cand_feats.shape[0]
     enc = model.apply(params, cand_feats, pano_feats, step_masks,
                       method=TransSpeaker.encode)
@@ -205,7 +208,8 @@ def greedy_decode(model, params, cand_feats, pano_feats, step_masks,
         logit_i = logits[:, i]
         if sample:
             rng, k = jax.random.split(rng)
-            nxt = jax.random.categorical(k, logit_i).astype(jnp.int32)
+            nxt = jax.random.categorical(
+                k, logit_i / jnp.maximum(temperature, 1e-6)).astype(jnp.int32)
         else:
             nxt = jnp.argmax(logit_i, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eos, nxt)

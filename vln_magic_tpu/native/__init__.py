@@ -206,5 +206,26 @@ def _batch_by_size_np(lengths, max_tokens, max_sentences, ids):
     return batch + 1
 
 
+def wer(hyps: list, refs: list) -> float:
+    """Corpus word-error rate: sum of edit distances over total reference
+    length (the fairseq scorer, reference: map_nav_src/fairseq/scoring/
+    wer.py), on the batched C++ Levenshtein.  Accepts token-id sequences or
+    whitespace-split strings."""
+    tok = lambda s: ([_stable_id(w) for w in s.split()]
+                     if isinstance(s, str) else list(s))
+    H = [tok(h) for h in hyps]
+    R = [tok(r) for r in refs]
+    total_ref = sum(len(r) for r in R)
+    if total_ref == 0:
+        return 0.0
+    return float(edit_distance(H, R).sum()) / total_ref
+
+
+def _stable_id(word: str) -> int:
+    import zlib
+
+    return zlib.crc32(word.encode()) & 0x7FFFFFFF
+
+
 def native_available() -> bool:
     return _load() is not None

@@ -60,6 +60,7 @@ class GlocalTextPathCMTPretrain(nn.Module):
         self.mlm_head = MLMHead(c, self.dtype)
         self.mrc_head = nn.Dense(self.image_prob_size, dtype=self.dtype)
         self.og_obj_proj = nn.Dense(c.hidden_size, dtype=self.dtype)
+        self.og_loc_proj = nn.Dense(c.hidden_size, dtype=self.dtype)
         self.og_state_proj = nn.Dense(c.hidden_size, dtype=self.dtype)
         self.cfp_txt_pool = nn.Dense(c.hidden_size, dtype=self.dtype)
         self.cfp_gmap_pool = nn.Dense(c.hidden_size, dtype=self.dtype)
@@ -154,6 +155,9 @@ class GlocalTextPathCMTPretrain(nn.Module):
         exists for capability parity with the REVERIE pathway."""
         outs = self.encode_path(batch, deterministic)
         obj = self.og_obj_proj(batch["obj_fts"])           # [B, O, D]
+        if "obj_loc_fts" in batch:
+            # angle + box features of each object (dataset.py:483-493)
+            obj = obj + self.og_loc_proj(batch["obj_loc_fts"])
         state = self.og_state_proj(
             outs["vp_embeds"][:, 0] + outs["txt_embeds"][:, 0])
         logits = jnp.einsum("bod,bd->bo", obj, state)

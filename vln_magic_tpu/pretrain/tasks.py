@@ -48,7 +48,8 @@ class PathDataBuilder:
     def __init__(self, world: World, max_steps: int = 8, max_gmap: int = 48,
                  max_txt: int = 64, angle_feat_size: int = 4,
                  image_prob_size: int = 1000, mask_token: int = 3,
-                 vocab_size: int = 50265, seed: int = 0, aug_features=None):
+                 vocab_size: int = 50265, seed: int = 0, aug_features=None,
+                 obj_db=None, max_objects: int = 20):
         self.world = world
         self.t = world.tables
         self.S = max_steps
@@ -65,6 +66,10 @@ class PathDataBuilder:
         # original and augmented features (reference dataset.py:230-237,
         # get_scanvp_feature: np.random.rand() > 0.5 per fetch)
         self.aug_features = aug_features
+        # REVERIE object store (ObjectFeatureStore / HashObjectStore):
+        # og_batch ingests real endpoint objects when set
+        self.obj_db = obj_db
+        self.max_objects = max_objects
 
     # ----- per-item assembly -----
 
@@ -320,6 +325,7 @@ class PathDataBuilder:
             "vp_cand_visited": vp_cand_visited,
             "sap_global_label": np.int32(g_label),
             "sap_local_label": np.int32(l_label),
+            "end_node": np.int32(cur),
         }
 
     # ----- batches per task -----
@@ -393,18 +399,61 @@ class PathDataBuilder:
         # CFP pools full positive trajectories (CfpDataset, tasks.py:575)
         return self.collate(items, end_vp_types=["pos"] * len(items))
 
-    def og_batch(self, items, num_objects: int = 8, obj_feat_dim: int | None = None,
+    def og_batch(self, items, num_objects: int | None = None,
+                 obj_feat_dim: int | None = None,
                  obj_features=None, obj_labels=None):
-        """Object-grounding batch (OGDataset role).  Real REVERIE object
-        features/labels when provided; deterministic synthetic otherwise."""
+        """Object-grounding batch (OGDataset role, reference pretrain_src/
+        data/tasks.py:455; object assembly dataset.py:483-512, labels
+        get_obj_label :307-319).  When an ``obj_db`` is attached, endpoint
+        objects come from the store: features, angle+box loc features
+        (h/H, w/W, hw/HW over the 640x480 obj image, dataset.py:489-491),
+        and the label is the index of the item's gt ``objId`` among the
+        endpoint's object ids (-100 ignore when absent, :318).  Explicit
+        ``obj_features``/``obj_labels`` override; deterministic synthetic
+        objects otherwise."""
         batch = self.collate(items, end_vp_types=["pos"] * len(items))
         B = len(items)
-        d = obj_feat_dim or self.t.feat_dim
-        if obj_features is None:
+        M = num_objects or (self.obj_db.max_objects if self.obj_db else 8)
+        obj_loc = np.zeros((B, M, self.afs + 3), np.float32)
+        if obj_features is not None:
+            obj_features = np.asarray(obj_features, np.float32)
+            obj_masks = np.ones((B, obj_features.shape[1]), bool)
+            obj_labels = np.asarray(obj_labels, np.int32)
+            obj_loc = np.zeros((B, obj_features.shape[1], self.afs + 3),
+                               np.float32)
+        elif self.obj_db is not None:
+            d = obj_feat_dim or self.obj_db.dim
+            obj_features = np.zeros((B, M, d), np.float32)
+            obj_masks = np.zeros((B, M), bool)
+            obj_labels = np.full((B,), -100, np.int32)
+            for b, it in enumerate(items):
+                g = self.world.graphs[it["scan_idx"]]
+                vp = g.node_ids[int(batch["end_node"][b])]
+                fts, attrs = self.obj_db.get(g.scan, vp)
+                n = min(len(fts), M)
+                if n == 0:
+                    continue
+                obj_features[b, :n] = fts[:n, :d]
+                obj_masks[b, :n] = True
+                ang = get_angle_fts(attrs["directions"][:n, 0],
+                                    attrs["directions"][:n, 1], self.afs)
+                w, h = attrs["sizes"][:n, 0], attrs["sizes"][:n, 1]
+                box = np.stack([h / 480.0, w / 640.0,
+                                (w * h) / (480.0 * 640.0)], 1)
+                obj_loc[b, :n] = np.concatenate([ang, box], 1)
+                gt = str(it.get("objId",
+                                it["instr_id"].split("_")[1]
+                                if it["instr_id"].count("_") >= 2 else ""))
+                ids = attrs["obj_ids"][:n]
+                obj_labels[b] = ids.index(gt) if gt in ids else -100
+        else:
+            d = obj_feat_dim or self.t.feat_dim
             obj_features = self.rng.standard_normal(
-                (B, num_objects, d)).astype(np.float32)
-            obj_labels = self.rng.integers(0, num_objects, B).astype(np.int32)
+                (B, M, d)).astype(np.float32)
+            obj_labels = self.rng.integers(0, M, B).astype(np.int32)
+            obj_masks = np.ones((B, M), bool)
         batch["obj_fts"] = obj_features
-        batch["obj_masks"] = np.ones((B, obj_features.shape[1]), bool)
+        batch["obj_loc_fts"] = obj_loc
+        batch["obj_masks"] = obj_masks
         batch["og_labels"] = np.asarray(obj_labels, np.int32)
         return batch

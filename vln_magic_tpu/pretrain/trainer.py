@@ -69,7 +69,7 @@ class PretrainTrainer:
         b = self.builder.mrc_batch(items)
         b["mlm_labels"] = np.full_like(b["txt_ids"], -100)
         og = self.builder.og_batch(items)
-        for k in ("obj_fts", "obj_masks", "og_labels"):
+        for k in ("obj_fts", "obj_loc_fts", "obj_masks", "og_labels"):
             b[k] = og[k]
         return {k: jnp.asarray(v) for k, v in b.items()}
 
@@ -114,8 +114,11 @@ class PretrainTrainer:
             logits = model.apply(params, batch, deterministic=det, rngs=rngs,
                                  method=type(model).og)
             loss = sap_loss(logits, batch["og_labels"])
-            acc = (jnp.argmax(logits, -1) == batch["og_labels"]).mean()
-            return loss, logits, {"og_acc": acc}
+            v = batch["og_labels"] != -100      # gt object absent -> ignore
+            a = (jnp.argmax(logits, -1) ==
+                 jnp.maximum(batch["og_labels"], 0)) * v
+            return loss, logits, {"og_acc":
+                                  a.sum() / jnp.maximum(v.sum(), 1)}
         if task == "cfp":
             embeds = model.apply(params, batch, deterministic=det, rngs=rngs,
                                  method=type(model).cfp)
@@ -213,15 +216,22 @@ class PretrainTrainer:
         if self._sampler is None:
             self._sampler = ItemSampler(items, bs, self.cfg.train.seed)
             sampler = self._sampler
-            self._loader = MetaLoader({
+            builders = {
                 "mlm": lambda: self._fill(
                     "mlm", self.builder.mlm_batch(sampler.next_batch())),
                 "sap": lambda: self._fill(
                     "sap", self.builder.sap_batch(sampler.next_batch())),
                 "cfp": lambda: self._fill(
                     "cfp", self.builder.cfp_batch(sampler.next_batch())),
-            }, ratios=task_ratios or {"mlm": 1, "sap": 1, "cfp": 1},
-                seed=self.cfg.train.seed)
+            }
+            ratios = dict(task_ratios or {"mlm": 1, "sap": 1, "cfp": 1})
+            if self.builder.obj_db is not None:
+                # REVERIE adds object grounding to the task mix (OGDataset)
+                builders["og"] = lambda: self._fill(
+                    "og", self.builder.og_batch(sampler.next_batch()))
+                ratios.setdefault("og", 1)
+            self._loader = MetaLoader(builders, ratios=ratios,
+                                      seed=self.cfg.train.seed)
         self._sampler.items = items
         # host->device overlap: batch N+1 transfers while step N runs
         from .loader import PrefetchLoader
@@ -249,7 +259,9 @@ class PretrainTrainer:
         bs = batch_size or self.cfg.train.batch_size
         sampler = ItemSampler(items, bs, 1234)
         out = {}
-        for task in ("mlm", "sap", "cfp"):
+        tasks = ("mlm", "sap", "cfp") + (
+            ("og",) if self.builder.obj_db is not None else ())
+        for task in tasks:
             accs = []
             for _ in range(num_batches):
                 batch = getattr(self.builder, f"{task}_batch")(

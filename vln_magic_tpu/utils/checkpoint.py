@@ -136,7 +136,8 @@ def pretrain_to_nav_key_map(name: str) -> str | None:
     heads are dropped.  Use as ``key_map`` for load_torch_checkpoint when
     loading a ``--bert_ckpt_file`` (parser.py:44)."""
     drop = ("mlm_head", "mrc_head", "cfp_txt_pool", "cfp_gmap_pool",
-            "cfp_vp_pool", "cfp_fused_pool", "og_obj_proj", "og_state_proj")
+            "cfp_vp_pool", "cfp_fused_pool", "og_obj_proj", "og_loc_proj",
+            "og_state_proj")
     if any(f".{d}." in name or name.startswith(f"params.{d}.") for d in drop):
         return None
     return name.replace("params.bert.", "params.")
