@@ -113,10 +113,18 @@ def main():
                     help="capture a jax.profiler trace into this directory")
     args = ap.parse_args()
 
+    import os
+
     import jax
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: repeated bench invocations (fresh
+    # processes) skip the 20-40s+ client-side compiles
+    cache = os.environ.get("VLN_JAX_CACHE_DIR", "/tmp/vln_magic_tpu_jax_cache")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
     import numpy as np
