@@ -79,7 +79,8 @@ def build_cfg(args, smoke):
         # of v5e HBM even at batch 16
         train=TrainConfig(batch_size=batch, compute_dtype=args.dtype,
                           train_alg="dagger", ml_weight=0.2, lr=4e-5,
-                          remat=args.remat or (args.train and not args.smoke)),
+                          remat=args.remat or (args.train and not args.smoke),
+                          remat_policy=args.remat_policy),
         distill=DistillConfig(
             train_kdl=args.train, train_teacher=args.train,
             teacher_sample_hard_mining=args.train,
@@ -101,6 +102,12 @@ def main():
     ap.add_argument("--remat", action="store_true", default=False,
                     help="rematerialize rollout steps in the backward "
                          "(raises the trainable batch ceiling)")
+    ap.add_argument("--remat_policy", default="dots",
+                    choices=["full", "dots"],
+                    help="dots (default) keeps MXU outputs resident and "
+                         "recomputes elementwise only — measured 14% faster "
+                         "than full-step recompute at the honest shape and "
+                         "still fits v5e HBM; full = recompute everything")
     ap.add_argument("--pallas", action="store_true", default=False,
                     help="fused pallas attention (wins for many-head models; "
                          "the 2-head MAGIC-S is faster on plain XLA)")

@@ -213,7 +213,9 @@ class Trainer:
             params, state0, txt_ids, txt_masks, feedback, rng,
             train_ml=train_ml, deterministic=False,
             teacher_params=t_params, distill=d, ability_grads=ability_grads,
-            zdicts=zdicts, remat=c.train.remat)
+            zdicts=zdicts,
+            remat=(c.train.remat_policy if c.train.remat_policy != "full"
+                   else True) if c.train.remat else False)
         bs = state0.batch_size
         ml = aux["ml_loss"] * train_ml / bs
         metrics = {"ml_loss": ml}

@@ -162,6 +162,11 @@ class TrainConfig:
     # trainable batch ceiling (the dual-model 15-step scan otherwise keeps
     # both models' per-step activations live)
     remat: bool = False
+    # remat policy: "full" recomputes the whole step in the backward;
+    # "dots" (jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    # keeps MXU outputs resident and recomputes only the cheap elementwise
+    # work — less recompute, more HBM.  Pick per shape/batch.
+    remat_policy: str = "full"
 
 
 @dataclass
