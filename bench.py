@@ -49,10 +49,13 @@ def build_cfg(args, smoke):
         # (reference parser.py:186-192, r2r_magic_model_config.json)
         scans, nodes, feat = 3, 320, 768
         hidden, heads, layers, xl, pl = 128, 2, 6, 3, 2
-        # eval batches wide; training at the reference fine-tune batch 16
-        # (run_r2r_kdl_valid.sh) — the backward keeps per-step activations
-        # of both models across the 15-step scan
-        batch = args.batch or (16 if args.train else 128)
+        # eval batches wide (256 measured best: 24.2k steps/s vs 22.2k at
+        # 128 and 21.7k at 512 — the step is dispatch-latency bound, ~1.3k
+        # ops/step, so width amortizes; 512 tips into HBM pressure).
+        # Training at the reference fine-tune batch 16 (run_r2r_kdl_valid.sh)
+        # — the backward keeps per-step activations of both models across
+        # the 15-step scan
+        batch = args.batch or (16 if args.train else 256)
         iters = args.iters or 8
         max_gmap, t_steps, txt_len = 128, 15, 200
         t_hidden, t_heads = 768, 12   # MAGIC teacher
