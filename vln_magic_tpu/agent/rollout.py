@@ -713,8 +713,15 @@ class Rollout:
             p = jnp.where(stepping, nxt, p)
             return p, prev, nodes, ln
 
+        # tight hop bound: every jump target is an OBSERVED node, and any
+        # observed node is reachable in <= max_action_len + 1 hops (walk the
+        # executed trajectory back to where it was observed, plus one
+        # frontier edge) — the shortest path the walk follows can only be
+        # shorter.  Halves the sequential chain vs the static WALK_HOPS
+        # bound at R2R's T=15.
+        hops = max(2, min(WALK_HOPS, self.env.max_action_len + 1))
         _, prev, traj_nodes, traj_len = jax.lax.fori_loop(
-            0, WALK_HOPS, walk,
+            0, hops, walk,
             (state.cur, state.cur, state.traj_nodes, state.traj_len))
 
         cand_ids_prev = t.cand_ids[state.scan, prev]
