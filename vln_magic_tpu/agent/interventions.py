@@ -156,6 +156,49 @@ def update_backdoor_dict(navigator, items, picker: WordPicker,
     return out
 
 
+def save_backdoor_tsv(path: str, dicts: dict):
+    """Persist {'direction': Zdict, 'landmark': Zdict} to one TSV with
+    kind-prefixed keys ("direction:left") in the reference row layout
+    (key, p(z), base64 float32 features — agent.py:1306-1351)."""
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        for kind, z in dicts.items():
+            for key, feat, pz in zip(z.keys, z.features, z.pzs):
+                w.writerow([f"{kind}:{key}", float(pz[0]), base64.b64encode(
+                    np.ascontiguousarray(feat, np.float32).tobytes()
+                ).decode("ascii")])
+
+
+def load_backdoor_tsv(path: str, dim: int):
+    """Load a backdoor z-dict TSV (``--*_backdoor_dict_file``).  Accepts the
+    kind-prefixed layout written by :func:`save_backdoor_tsv`; rows without
+    a kind prefix (reference-written instr dicts) are classified by the
+    direction-word list, everything else landing in 'landmark'."""
+    csv.field_size_limit(sys.maxsize)
+    rows = {"direction": ([], [], []), "landmark": ([], [], [])}
+    with open(path) as f:
+        for row in csv.reader(f, delimiter="\t"):
+            key, pz, blob = row[0], float(row[1]), row[2]
+            if ":" in key and key.split(":", 1)[0] in rows:
+                kind, key = key.split(":", 1)
+            else:
+                kind = ("direction" if key.lower() in DEFAULT_DIRECTION_WORDS
+                        else "landmark")
+            ks, ps, fs = rows[kind]
+            ks.append(key)
+            ps.append(pz)
+            fs.append(np.frombuffer(base64.b64decode(blob),
+                                    np.float32)[:dim])
+    out = {}
+    for kind, (ks, ps, fs) in rows.items():
+        if not fs:
+            out[kind] = Zdict(np.zeros((1, dim), np.float32),
+                              np.ones((1, 1)))
+            continue
+        out[kind] = Zdict(np.stack(fs), np.asarray(ps), ks)
+    return out
+
+
 def build_rollout_zdicts(backdoor=None, front=None, pad_entries: int = 0):
     """Package one role's backdoor Zdicts + frontdoor family features into
     the structure ``Rollout.run(zdicts={role: ...})`` consumes (the

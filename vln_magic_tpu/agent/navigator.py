@@ -35,7 +35,11 @@ def pad_instructions(items, max_len: int, pad_id: int = 1):
 
 
 def episodes_from_items(tables: Tables, world: World, items, model_dims,
-                        max_gt_len: int = 24, observed_parity: bool = False):
+                        max_gt_len: int = 24, observed_parity: bool = False,
+                        aug: bool = False):
+    """``aug=True`` marks the episodes as EnvEdit-augmented: the rollout
+    reads the alternate feature table for them (reference env.py:39,78 —
+    aug feature DBs cycled per episode)."""
     b = len(items)
     tg = max_gt_len  # fixed shape: TRAIN_MAX_STEP-scale bound (env.py:24)
     scan = np.array([it["scan_idx"] for it in items], np.int32)
@@ -48,7 +52,8 @@ def episodes_from_items(tables: Tables, world: World, items, model_dims,
         gt_path[i, : len(p)] = p
         gt_len[i] = len(p)
     return init_episodes(tables, scan, start, heading, gt_path, gt_len,
-                         model_dims, observed_parity=observed_parity)
+                         model_dims, observed_parity=observed_parity,
+                         aug=np.full((b,), bool(aug)) if aug else None)
 
 
 class Navigator:

@@ -364,8 +364,15 @@ class Rollout:
         bi = jnp.arange(b)[:, None]
 
         observed = state.obs_order[:, :n] < UNOBS
+        # token visited-classification: normally the true visit history; with
+        # act_visited_nodes only the current viewpoint counts, so earlier
+        # nodes stay selectable actions (agent.py:186-195)
+        if env.act_visited_nodes:
+            eff_visited = (jnp.arange(n)[None, :] == state.cur[:, None])
+        else:
+            eff_visited = state.visited[:, :n]
         # visited first (observation order), then frontier (observation order)
-        key = state.obs_order[:, :n] + jnp.where(state.visited[:, :n], 0, BIG)
+        key = state.obs_order[:, :n] + jnp.where(eff_visited, 0, BIG)
         k = min(g - 2, n)
         token_node = jnp.argsort(key, axis=1)[:, :k].astype(jnp.int32)
         token_valid = jnp.take_along_axis(observed, token_node, axis=1)
@@ -376,7 +383,7 @@ class Rollout:
             token_valid = jnp.concatenate(
                 [token_valid, jnp.zeros((b, pad), bool)], axis=1)
 
-        visited_tok = jnp.take_along_axis(state.visited[:, :n], token_node, 1)
+        visited_tok = jnp.take_along_axis(eff_visited, token_node, 1)
         gmap_masks = jnp.concatenate(
             [jnp.ones((b, 1), bool), jnp.zeros((b, 1), bool),  # [stop], [mem]
              token_valid], axis=1)
@@ -434,7 +441,7 @@ class Rollout:
         pair_dists = jnp.zeros((b, g, g), jnp.float32)
         pair_dists = pair_dists.at[:, 2:, 2:].set(pair)
 
-        no_vp_left = ~((observed & ~state.visited[:, :n]).any(axis=1))
+        no_vp_left = ~((observed & ~eff_visited).any(axis=1))
         return {
             "gmap_step_ids": step_ids,
             "gmap_pos_fts": pos_fts, "gmap_masks": gmap_masks,
@@ -519,6 +526,34 @@ class Rollout:
     # ------------------------------------------------------------------
     # supervision (the reference's _teacher_action, agent.py:330-373)
     # ------------------------------------------------------------------
+
+    def teacher_action_local(self, state: EpisodeBatch, pano, t_step: int,
+                             imitation: bool):
+        """Supervision in the LOCAL (viewpoint-branch) action space for
+        ``fusion='local'``: slots are [stop],[mem],candidates... — the gt
+        next hop / spl-expert candidate index instead of a gmap token
+        (reference fusion==local call sites, agent.py:1003,1044)."""
+        env = self.env
+        b = state.batch_size
+        cand_ids, cand_mask = pano["cand_ids"], pano["cand_mask"]
+        if imitation:
+            tt = jnp.minimum(jnp.full((b,), t_step + 1), state.gt_len - 1)
+            goal_vp = jnp.take_along_axis(state.gt_path, tt[:, None], 1)[:, 0]
+            stop = t_step >= (state.gt_len - 1)
+            eq = (cand_ids == goal_vp[:, None]) & cand_mask
+            idx = 2 + eq.argmax(axis=1).astype(jnp.int32)
+            a = jnp.where(stop, 0,
+                          jnp.where(eq.any(axis=1), idx, env.ignore_id))
+        else:
+            dists = self.t.dist[state.scan]
+            safe = jnp.maximum(cand_ids, 0)
+            d_cur = jnp.take_along_axis(dists[jnp.arange(b), state.cur],
+                                        safe, 1)
+            d_goal = dists[jnp.arange(b)[:, None], safe, state.goal[:, None]]
+            cost = jnp.where(cand_mask, d_cur + d_goal, jnp.inf)
+            best = 2 + jnp.argmin(cost, axis=1).astype(jnp.int32)
+            a = jnp.where(state.cur == state.goal, 0, best)
+        return jnp.where(state.ended, env.ignore_id, a)
 
     def teacher_action(self, state: EpisodeBatch, gmap, t_step: int,
                        imitation: bool):
@@ -636,7 +671,8 @@ class Rollout:
     # ------------------------------------------------------------------
 
     def transition(self, state: EpisodeBatch, gmap, action, stop_prob,
-                   t_step: int, feedback: str):
+                   t_step: int, feedback: str, pano=None,
+                   local_actions: bool = False):
         t = self.t
         env = self.env
         b = state.batch_size
@@ -661,9 +697,19 @@ class Rollout:
                              | (t_step == env.max_action_len - 1))
         moving = live & ~just_ended
 
-        target = jnp.take_along_axis(
-            gmap["token_node"], jnp.maximum(action - 2, 0)[:, None], 1)[:, 0]
-        target = jnp.where(moving, target, state.cur)
+        if local_actions:
+            # local (viewpoint-branch) actions: slot -> the current node's
+            # candidate (fusion='local'; actions can revisit neighbors)
+            slot = jnp.maximum(action - 2, 0)[:, None]
+            target = jnp.take_along_axis(pano["cand_ids"], slot, 1)[:, 0]
+            valid = (action >= 2) & \
+                jnp.take_along_axis(pano["cand_mask"], slot, 1)[:, 0]
+            moving = moving & valid
+            target = jnp.where(moving, target, state.cur)
+        else:
+            target = jnp.take_along_axis(
+                gmap["token_node"], jnp.maximum(action - 2, 0)[:, None], 1)[:, 0]
+            target = jnp.where(moving, target, state.cur)
 
         # one bounded next-hop walk serves both needs: the last-but-one node
         # (to face the final edge — the reference reads the candidate view
@@ -810,8 +856,11 @@ class Rollout:
             **state.mem, role: outs["cls_embeds"].astype(jnp.float32)})
         return state, gmap, outs
 
-    def select_action(self, logits, feedback, rng, nav_targets, gmap, state):
-        """Action choice per feedback mode (agent.py:1028-1054)."""
+    def select_action(self, logits, feedback, rng, nav_targets, gmap, state,
+                      explore_mask=None):
+        """Action choice per feedback mode (agent.py:1028-1054).
+        ``explore_mask`` overrides the expl_sample random-action support
+        (fusion='local' explores over the viewpoint branch, agent.py:1044)."""
         if feedback == "teacher":
             a = jnp.maximum(nav_targets, 0)   # ignore_id rows are ended anyway
         elif feedback == "argmax":
@@ -822,7 +871,8 @@ class Rollout:
             a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             k1, k2 = jax.random.split(rng)
             explore = jax.random.uniform(k1, a.shape) > self.env.expl_max_ratio
-            mask = gmap["gmap_masks"] & ~gmap["gmap_visited_masks"]
+            mask = explore_mask if explore_mask is not None else \
+                gmap["gmap_masks"] & ~gmap["gmap_visited_masks"]
             r = jax.random.uniform(k2, mask.shape)
             rand_a = jnp.argmax(jnp.where(mask, r, -1.0), axis=-1).astype(jnp.int32)
             a = jnp.where(explore, rand_a, a)
@@ -857,6 +907,12 @@ class Rollout:
         kdl = distill is not None and self.teacher_model is not None
         icod = kdl and distill.train_teacher
         mktd = kdl and distill.teacher_sample_hard_mining
+        # --fusion action-score selection (parser.py:16); 'local' switches
+        # the action space to viewpoint-candidate slots
+        policy_logit_key = {"dynamic": "fused_logits", "avg": "fused_logits",
+                            "global": "global_logits",
+                            "local": "local_logits"}[self.cfg.fusion]
+        local_acts = self.cfg.fusion == "local"
         if rng is None:
             rng = jax.random.PRNGKey(0)
         rngs = None if deterministic else {"dropout": rng}
@@ -939,7 +995,10 @@ class Rollout:
                 model, params, "student", state, txt_embeds, txt_masks,
                 k_drop, deterministic, s_zd, ensemble_n, shared)
             outs["txt_embeds"], outs["txt_attns"] = txt_embeds, txt_attns
-            logits = outs["fused_logits"]
+            # policy logits per --fusion (parser.py:16): dynamic/avg use the
+            # fused scores, global/local a single branch; 'local' switches
+            # the whole action space to viewpoint-candidate slots
+            logits = outs[policy_logit_key]
             probs = jax.nn.softmax(logits, axis=-1)
 
             if kdl:
@@ -949,13 +1008,18 @@ class Rollout:
                     1, shared)
                 t_outs["txt_embeds"] = t_txt_embeds
                 t_outs["txt_attns"] = t_txt_attns
-                t_logits = t_outs["fused_logits"]
+                t_logits = t_outs[policy_logit_key]
 
             nav_targets = None
             step_ce = jnp.zeros((state.batch_size,))
             if train_ml is not None or feedback == "teacher":
-                nav_targets = self.teacher_action(
-                    state, gmap, t_step, imitation=(feedback == "teacher"))
+                if local_acts:
+                    nav_targets = self.teacher_action_local(
+                        state, pano_shared, t_step,
+                        imitation=(feedback == "teacher"))
+                else:
+                    nav_targets = self.teacher_action(
+                        state, gmap, t_step, imitation=(feedback == "teacher"))
                 valid = nav_targets != self.env.ignore_id
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 tgt = jnp.maximum(nav_targets, 0)
@@ -998,8 +1062,10 @@ class Rollout:
                         ignore_id=self.env.ignore_id))
 
             policy_logits = t_logits if (kdl and use_teacher_policy) else logits
-            a = self.select_action(policy_logits, feedback, k_act, nav_targets,
-                                   gmap, state)
+            a = self.select_action(
+                policy_logits, feedback, k_act, nav_targets, gmap, state,
+                explore_mask=(shared[2]["vp_nav_masks"] if local_acts
+                              else None))
             stop_prob = jax.nn.softmax(policy_logits, axis=-1)[:, 0]
 
             # episodes active at the top of this step: the honest per-step
@@ -1022,7 +1088,8 @@ class Rollout:
                 d_before = self.t.dist[state.scan, state.cur, state.goal]
 
             state, chosen, just_ended = self.transition(
-                state, gmap, a, stop_prob, t_step, feedback)
+                state, gmap, a, stop_prob, t_step, feedback,
+                pano=pano_shared, local_actions=local_acts)
             rec["chosen"] = chosen
             if train_rl:
                 d_after = self.t.dist[state.scan, state.cur, state.goal]

@@ -141,10 +141,14 @@ def make_optimizer(cfg, lr=None) -> optax.GradientTransformation:
 class Trainer:
     """Owns models, optimizers, and the jitted DAgger+MAKD train step."""
 
-    def __init__(self, cfg: MagicConfig, world: World, rng=None):
+    def __init__(self, cfg: MagicConfig, world: World, rng=None,
+                 aug_features=None):
         self.cfg = cfg
         self.world = world
-        self.tables = Tables.from_world(world.tables)
+        # aug_features: EnvEdit-style alternate feature table, same layout
+        # as world.tables.features; aug-marked episodes read it
+        self.tables = Tables.from_world(world.tables,
+                                        aug_features=aug_features)
         if rng is None:
             rng = jax.random.PRNGKey(cfg.train.seed)
         k_s, k_t, self.rng = jax.random.split(rng, 3)
@@ -161,6 +165,14 @@ class Trainer:
 
         self.params = self._init(self.model, cfg.model, k_s)
         self.opt = make_optimizer(cfg)
+        if (cfg.train.fix_lang_embedding or cfg.train.fix_local_branch
+                or cfg.train.fix_pano_embedding):
+            # freeze via a zero-update mask (the reference parser declares
+            # fix_* but its release never consumes them; actually frozen here)
+            self.opt = optax.chain(
+                self.opt,
+                optax.masked(optax.set_to_zero(),
+                             self._frozen_mask(self.params)))
         self.opt_state = self.opt.init(self.params)
         # value head — always constructed like the reference (agent.py:39);
         # trained only on the RL branch
@@ -192,6 +204,30 @@ class Trainer:
         # (refreshed by the orchestrator every update_iter / on new-best,
         # main_nav.py:218-222,439-444,488-494); {} disables them
         self.zdicts: dict = {}
+
+    def _frozen_mask(self, params):
+        """True leaves get zeroed updates: lang embeddings
+        (fix_lang_embedding), the local cross-modal branch + its action head
+        (fix_local_branch), the panorama encoder (fix_pano_embedding)."""
+        from flax import traverse_util
+
+        t = self.cfg.train
+        flat = traverse_util.flatten_dict(params)
+
+        def frozen(key_tuple):
+            k = "/".join(str(p) for p in key_tuple)
+            if t.fix_lang_embedding and "lang_encoder" in k and (
+                    "embeddings" in k or "emb_norm" in k):
+                return True
+            if t.fix_local_branch and ("local_encoder" in k
+                                       or "local_sap_head" in k):
+                return True
+            if t.fix_pano_embedding and "pano_encoder" in k:
+                return True
+            return False
+
+        return traverse_util.unflatten_dict(
+            {k: frozen(k) for k in flat})
 
     def _init(self, model, mcfg, rng):
         from ..models.vlnbert import dummy_step_batch
@@ -327,7 +363,7 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5))
 
-    def train_step(self, items, zdicts=None):
+    def train_step(self, items, zdicts=None, aug=False):
         if self._step_fn is None:
             self._step_fn = self._make_step()
         if zdicts is None:
@@ -335,7 +371,8 @@ class Trainer:
         txt_ids, txt_masks = pad_instructions(items, self.cfg.env.max_instr_len)
         state0 = episodes_from_items(
             self.tables, self.world, items, self.rollout.model_dims,
-            observed_parity=self.cfg.env.observed_graph_parity)
+            observed_parity=self.cfg.env.observed_graph_parity,
+            aug=aug and self.tables.aug_features is not None)
         self.rng, k = jax.random.split(self.rng)
         (self.params, self.opt_state, self.critic_params,
          self.critic_opt_state, self.t_params, self.t_opt_state,
@@ -523,7 +560,7 @@ class Trainer:
                 for b in batch:
                     b["instr_encoding"] = np.asarray(
                         tok.encode(b["instruction"]), np.int32)
-            m = self.train_step(batch)
+            m = self.train_step(batch, aug=use_aug)
             m["aug"] = float(use_aug)
             history.append(m)
             if callback and (it + 1) % log_every == 0:

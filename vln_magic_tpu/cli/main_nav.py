@@ -116,6 +116,72 @@ def parse_args(argv=None):
     p.add_argument("--z_instr_update", action="store_true", default=False)
     p.add_argument("--update_iter", type=int, default=3000)
     p.add_argument("--front_n_clusters", type=int, default=24)
+    # remaining reference flags, verbatim names (map_nav_src/r2r/parser.py).
+    # Wired ones are consumed below / via config._FLAG_MAP; the rest are
+    # accepted no-ops whose reference role the TPU design absorbs (ranks ->
+    # one mesh; dataloader workers -> device tables; etc.)
+    p.add_argument("--world_size", type=int, default=1)       # dp size hint
+    p.add_argument("--local_rank", type=int, default=-1)      # mesh replaces ranks
+    p.add_argument("--node_rank", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=0)      # tables, no loaders
+    p.add_argument("--enc_full_graph", action="store_true", default=True)
+    p.add_argument("--fusion", default="dynamic",
+                   choices=["global", "local", "avg", "dynamic"])
+    p.add_argument("--expl_max_ratio", type=float, default=0.6)
+    p.add_argument("--gamma", type=float, default=0.9)
+    p.add_argument("--entropy_loss_weight", type=float, default=0.01)
+    p.add_argument("--cat_file", type=str, default=None)      # landmark categories
+    p.add_argument("--featdropout", type=float, default=None) # legacy alias
+    p.add_argument("--image_feat_size", type=int, default=None)
+    p.add_argument("--views", type=int, default=36)
+    p.add_argument("--ensemble_n", type=int, default=1)       # MC-dropout eval
+    p.add_argument("--save_optimizer", action="store_true", default=False)
+    p.add_argument("--resume_optimizer", action="store_true", default=False)
+    p.add_argument("--loadOptim", dest="load_optim", action="store_const",
+                   default=False, const=True)                 # legacy alias
+    p.add_argument("--do_back_img_type", type=str, default="type_1")
+    p.add_argument("--act_visited_nodes", action="store_true", default=False)
+    p.add_argument("--fix_lang_embedding", action="store_true", default=False)
+    p.add_argument("--fix_local_branch", action="store_true", default=False)
+    p.add_argument("--fix_pano_embedding", action="store_true", default=False)
+    p.add_argument("--accumulateGrad", dest="accumulate_grad",
+                   action="store_const", default=False, const=True)
+    p.add_argument("--epsilon", type=float, default=0.1)
+    p.add_argument("--decay", dest="weight_decay", type=float, default=0.0)
+    # per-role dims (parser.py:173-195); None -> the shared --num_* values
+    for role in ("student", "teacher"):
+        p.add_argument(f"--{role}_num_l_layers", type=int, default=None)
+        p.add_argument(f"--{role}_num_pano_layers", type=int, default=None)
+        p.add_argument(f"--{role}_num_x_layers", type=int, default=None)
+        p.add_argument(f"--{role}_mlp_ratio", type=int, default=None)
+        p.add_argument(f"--{role}_intermediate_size", type=int, default=None)
+        p.add_argument(f"--{role}_bert_ckpt_file", default=None)
+    # intervention dictionary files (parser.py:236-259): when provided, the
+    # z-dicts load from these TSVs instead of being rebuilt from the model
+    p.add_argument("--backdoor_dict_file", default=None)
+    p.add_argument("--s_backdoor_dict_file", default=None)
+    p.add_argument("--t_backdoor_dict_file", default=None)
+    p.add_argument("--frontdoor_dict_file", default=None)
+    p.add_argument("--s_frontdoor_dict_file", default=None)
+    p.add_argument("--t_frontdoor_dict_file", default=None)
+    # speaker / back-translation (parser.py:103-126)
+    p.add_argument("--speaker", default=None)                 # speaker ckpt
+    p.add_argument("--use_transpeaker", action="store_true", default=False)
+    p.add_argument("--use_drop", action="store_true", default=False)
+    p.add_argument("--speaker_dropout", type=float, default=0.2)
+    p.add_argument("--speaker_angle_size", type=int, default=128)
+    p.add_argument("--speaker_layer_num", type=int, default=3)
+    p.add_argument("--speaker_head_num", type=int, default=4)
+    p.add_argument("--maxDecode", dest="max_decode", type=int, default=120)
+    p.add_argument("--wemb", type=int, default=256)
+    p.add_argument("--hDim", dest="h_dim", type=int, default=512)
+    p.add_argument("--proj_hidden", type=int, default=1024)
+    p.add_argument("--aemb", type=int, default=64)
+    p.add_argument("--subout", dest="sub_out", type=str, default="tanh")
+    p.add_argument("--use_aug_env", action="store_true", default=False)
+    p.add_argument("--env_edit", action="store_true", default=False)
+    p.add_argument("--obj_features", type=str, default="vitbase")
+    p.add_argument("--obj_ft_dim", type=int, default=768)
     # env shape (framework addition: the reference pads gmaps to the batch
     # max; fixed shapes need the budget explicit and raisable per dataset)
     p.add_argument("--max_gmap_len", type=int, default=128)
@@ -131,6 +197,8 @@ def parse_args(argv=None):
     p.add_argument("--synthetic_feat_dim", type=int, default=64)
 
     args, _ = p.parse_known_args(argv)
+    # legacy aliases
+    args.resume_optimizer = args.resume_optimizer or args.load_optim
     out_root = os.path.join(args.output_dir,
                             "navigator" if "train" in args.mode else "test",
                             args.name)
@@ -143,6 +211,10 @@ def parse_args(argv=None):
     args.anno_dir = os.path.join(args.root_dir, "R2R", "annotations")
     args.img_ft_file = os.path.join(args.root_dir, "R2R", "features",
                                     "CLIP-ViT-B-16-views.hdf5")
+    # EnvEdit-augmented feature table (reference postprocess_args:220-227)
+    args.aug_img_ft_file = os.path.join(
+        args.root_dir, "EnvEdit", "hamt_features",
+        "CLIP-ViT-B-16-views-st-samefilter.hdf5")
     return args
 
 
@@ -185,7 +257,14 @@ def build_dataset(args, cfg):
         graphs = [load_connectivity(args.connectivity_dir, s) for s in scans]
         world = World(graphs, store.feature_fn(), feat_dim)
         splits = {k: attach_path_indices(v, world) for k, v in splits.items()}
-        return world, splits
+        aug_features = None
+        if args.env_edit or args.use_aug_env:
+            # EnvEdit alternate feature table, same [S, N, 36, D] layout
+            aug_store = (ImageFeatureStore(args.aug_img_ft_file, feat_dim)
+                         if os.path.exists(args.aug_img_ft_file)
+                         else HashFeatureStore(feat_dim, seed=1))
+            aug_features = _build_aug_table(world, aug_store)
+        return world, splits, aug_features
 
     # synthetic fallback
     from ..env.synthetic import make_synthetic_instructions, make_synthetic_world
@@ -204,7 +283,24 @@ def build_dataset(args, cfg):
         splits["test"] = make_synthetic_instructions(world, max(n // 4, 4), rng)
     if args.aug:
         splits["aug"] = make_synthetic_instructions(world, n, rng)
-    return world, splits
+    aug_features = None
+    if args.env_edit or args.use_aug_env:
+        from ..data.features import HashFeatureStore
+
+        aug_features = _build_aug_table(
+            world, HashFeatureStore(feat_dim, seed=args.seed + 1))
+    return world, splits, aug_features
+
+
+def _build_aug_table(world, store):
+    """Materialize an alternate per-scan view-feature table matching
+    world.tables.features (the EnvEdit aug DB, reference env.py:39,78)."""
+    t = world.tables
+    aug = np.zeros_like(np.asarray(t.features))
+    fn = store.feature_fn()
+    for si, g in enumerate(world.graphs):
+        aug[si, : g.num_nodes] = fn(g.scan, g.node_ids)
+    return aug
 
 
 def _score(avg, dataset):
@@ -265,8 +361,11 @@ def refresh_intervention_dicts(args, cfg, trainer, world, items, it,
                 cache[key] = jax.jit(
                     lambda p, ids, mask, m=model: m.apply(
                         p, ids, mask, method=type(m).language))
-            back = update_backdoor_dict(shim, items, WordPicker(),
-                                        lang_fn=cache[key])
+            back = update_backdoor_dict(
+                shim, items,
+                WordPicker(cat_file=args.cat_file if args.cat_file
+                           and os.path.exists(args.cat_file) else None),
+                lang_fn=cache[key])
         if mcfg.do_front_txt or mcfg.do_front_img or mcfg.do_front_his:
             if "builder" not in cache:
                 cache["builder"] = _make_cfp_builder(cfg, world)
@@ -288,7 +387,41 @@ def refresh_intervention_dicts(args, cfg, trainer, world, items, it,
     return zd_all
 
 
-def train(args, cfg, world, splits):
+def load_intervention_dict_files(args, cfg):
+    """Load backdoor/frontdoor dictionaries from the reference's TSV files
+    when their flags are given (parser.py:236-259; valid-script plumbing
+    main_nav.py:574-592).  Returns {role: rollout-zdict} for roles with at
+    least one file present; rebuild-from-model covers the rest."""
+    from ..agent.interventions import (KMeansPicker, build_rollout_zdicts,
+                                       load_backdoor_tsv, load_cfp_tsv)
+
+    out = {}
+    role_files = {
+        "student": (args.s_backdoor_dict_file or args.backdoor_dict_file,
+                    args.s_frontdoor_dict_file or args.frontdoor_dict_file),
+        "teacher": (args.t_backdoor_dict_file or args.backdoor_dict_file,
+                    args.t_frontdoor_dict_file or args.frontdoor_dict_file),
+    }
+    dims = {"student": cfg.model.hidden_size,
+            "teacher": (cfg.teacher_model.hidden_size
+                        if cfg.teacher_model else cfg.model.hidden_size)}
+    for role, (back_f, front_f) in role_files.items():
+        back = front = None
+        if back_f and os.path.exists(back_f):
+            back = load_backdoor_tsv(back_f, dims[role])
+        if front_f and os.path.exists(front_f):
+            feats, _ = load_cfp_tsv(front_f, dims[role])
+            front = KMeansPicker(
+                feats, args.front_n_clusters,
+                seed=cfg.train.seed).random_pick_front_features(
+                np.random.default_rng(cfg.train.seed))
+        z = build_rollout_zdicts(back, front, pad_entries=81)
+        if z:
+            out[role] = z
+    return out
+
+
+def train(args, cfg, world, splits, aug_features=None):
     import signal
 
     from ..agent.navigator import Navigator
@@ -303,7 +436,7 @@ def train(args, cfg, world, splits):
                    if isinstance(v, (int, float, str, bool, list, type(None)))},
                   f, indent=2)
 
-    trainer = Trainer(cfg, world)
+    trainer = Trainer(cfg, world, aug_features=aug_features)
     resumed = False
     if args.auto_resume:
         # preemption recovery: pick up the full train state (params, both
@@ -320,21 +453,38 @@ def train(args, cfg, world, splits):
         write_to_record_file(
             f"resumed {args.resume_file} (epoch {epoch}, "
             f"{len(miss)} missing, {len(unexp)} unexpected)", record)
+        if args.resume_optimizer:
+            # --resume_optimizer / legacy --loadOptim (parser.py:40,116)
+            from ..utils.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(args.resume_file + ".opt")
+            if mgr.has("opt_state"):
+                trainer.opt_state = mgr.restore("opt_state",
+                                                template=trainer.opt_state)
+                write_to_record_file("restored optimizer state", record)
     if args.teacher_resume_file and trainer.t_params is not None and not resumed:
         trainer.t_params, _, _, _ = load_torch_checkpoint(
             args.teacher_resume_file, template=trainer.t_params,
             drop_kd_heads=not cfg.distill.train_teacher)
-    if args.bert_ckpt_file and not resumed:
-        # pretraining checkpoint: strip the bert. trunk prefix, drop task
-        # heads (parser.py:44 --bert_ckpt_file)
+    # pretraining trunk checkpoints: strip the bert. prefix, drop task heads
+    # (parser.py:44 --bert_ckpt_file; per-role student/teacher variants)
+    s_bert = args.student_bert_ckpt_file or args.bert_ckpt_file
+    if s_bert and not resumed:
         from ..utils.checkpoint import pretrain_to_nav_key_map
 
         trainer.params, _, miss, _ = load_torch_checkpoint(
-            args.bert_ckpt_file, template=trainer.params,
+            s_bert, template=trainer.params,
             key_map=pretrain_to_nav_key_map)
         write_to_record_file(
-            f"loaded pretrain trunk {args.bert_ckpt_file} "
+            f"loaded pretrain trunk {s_bert} "
             f"({len(miss)} params left at init)", record)
+    if args.teacher_bert_ckpt_file and trainer.t_params is not None \
+            and not resumed:
+        from ..utils.checkpoint import pretrain_to_nav_key_map
+
+        trainer.t_params, _, _, _ = load_torch_checkpoint(
+            args.teacher_bert_ckpt_file, template=trainer.t_params,
+            key_map=pretrain_to_nav_key_map)
 
     # SIGTERM (preemption) -> emergency train-state checkpoint, then exit.
     # Params/opt-state attributes are only rebound between steps, so the
@@ -356,6 +506,29 @@ def train(args, cfg, world, splits):
                and trainer.kdl)
     needs_dicts = args.z_instr_update or cfg.model.do_front_txt \
         or cfg.model.do_front_img or cfg.model.do_front_his
+    # dictionaries from files first (--*_backdoor/frontdoor_dict_file); the
+    # iter-0 / periodic refresh overwrites them when z_instr_update is on
+    file_dicts = load_intervention_dict_files(args, cfg)
+    if file_dicts:
+        trainer.zdicts = file_dicts
+        write_to_record_file(
+            f"loaded intervention dicts from files for "
+            f"{sorted(file_dicts)}", record)
+
+    # back-translation speaker for the aug alternation (--use_transpeaker;
+    # the reference's self-train path, agent.py:737-752)
+    speaker = speaker_tok = None
+    if args.use_transpeaker and splits.get("aug"):
+        from ..agent.speaker import Speaker, SpeakerTokenizer
+
+        speaker_tok = SpeakerTokenizer.build(splits["train"])
+        speaker = Speaker(
+            world, feat_dim=cfg.model.image_feat_size,
+            vocab_size=speaker_tok.vocab_size,
+            max_steps=cfg.env.max_action_len,
+            max_len=min(args.max_decode, 80), hidden=args.h_dim,
+            layers=args.speaker_layer_num, heads=args.speaker_head_num,
+            feat_dropout=args.featdropout or cfg.train.feat_dropout)
 
     def run_validation(it, save_best=True):
         nav.params = trainer.params
@@ -401,6 +574,7 @@ def train(args, cfg, world, splits):
             interval = min(args.log_every, args.iters - it)
             hist = trainer.fit(splits["train"], interval,
                                aug_items=aug_items,
+                               speaker=speaker, speaker_tok=speaker_tok,
                                aug_times=args.aug_times if aug_items else 0)
             prev_it, it = it, it + interval
             mean = {k: float(np.mean([h[k] for h in hist if k in h]))
@@ -429,14 +603,10 @@ def train(args, cfg, world, splits):
                 # new-best refresh (main_nav.py:488-494)
                 refresh_intervention_dicts(args, cfg, trainer, world,
                                            splits["train"], it, record)
-            save_torch_checkpoint(
-                trainer.params, os.path.join(args.ckpt_dir, "latest_dict.pt"),
-                epoch=it)
-            if trainer.t_params is not None and cfg.distill.train_teacher:
-                save_torch_checkpoint(
-                    trainer.t_params,
-                    os.path.join(args.ckpt_dir, "teacher_latest_dict.pt"),
-                    epoch=it)
+            # latest .pt (+ teacher_ prefix when co-training, + optimizer
+            # sidecar under --save_optimizer) and the resumable train state
+            trainer.save(os.path.join(args.ckpt_dir, "latest_dict.pt"),
+                         save_optimizer=args.save_optimizer)
             trainer.save_state(args.ckpt_dir)
     finally:
         signal.signal(signal.SIGTERM, prev_handler)
@@ -459,12 +629,14 @@ def valid(args, cfg, world, splits):
         write_to_record_file(f"loaded {args.resume_file} (epoch {epoch})",
                              record)
 
-    # rebuild the student's intervention dictionaries from the loaded
-    # checkpoint when the causal flags are on (the reference loads them from
-    # s_backdoor/frontdoor TSVs, main_nav.py:574-592; regenerating them from
-    # the model is equivalent and dataset-free)
+    # intervention dictionaries: prefer the reference's TSV files when their
+    # flags point at existing paths (main_nav.py:574-592), else rebuild them
+    # from the loaded checkpoint (equivalent and dataset-free)
     zdicts = None
-    if (cfg.model.do_back_txt or cfg.model.do_front_txt
+    file_dicts = load_intervention_dict_files(args, cfg)
+    if "student" in file_dicts:
+        zdicts = {"student": file_dicts["student"]}
+    elif (cfg.model.do_back_txt or cfg.model.do_front_txt
             or cfg.model.do_front_img or cfg.model.do_front_his) \
             and splits.get("train"):
         from ..agent.interventions import (KMeansPicker, WordPicker,
@@ -472,7 +644,9 @@ def valid(args, cfg, world, splits):
                                            extract_cfp_features,
                                            update_backdoor_dict)
 
-        back = update_backdoor_dict(nav, splits["train"], WordPicker()) \
+        picker = WordPicker(cat_file=args.cat_file if args.cat_file
+                            and os.path.exists(args.cat_file) else None)
+        back = update_backdoor_dict(nav, splits["train"], picker) \
             if cfg.model.do_back_txt else None
         front = None
         if cfg.model.do_front_txt or cfg.model.do_front_img \
@@ -497,7 +671,8 @@ def valid(args, cfg, world, splits):
             # all_gather, env.py:126-134, main_nav.py:606-607)
             my_items = shard_items(items)
             (_, _), preds = navigator.evaluate(
-                my_items, zdicts=zd, detailed_output=args.detailed_output)
+                my_items, zdicts=zd, detailed_output=args.detailed_output,
+                ensemble_n=args.ensemble_n)
             preds = gather_predictions(preds)
             if args.submit and tag == "" and is_primary():
                 with open(os.path.join(args.pred_dir,
@@ -577,9 +752,9 @@ def main(argv=None):
                     cfg.teacher_model,
                     image_feat_size=args.synthetic_feat_dim,
                     vocab_size=min(cfg.teacher_model.vocab_size, 2000)))
-    world, splits = build_dataset(args, cfg)
+    world, splits, aug_features = build_dataset(args, cfg)
     if args.mode == "train":
-        return train(args, cfg, world, splits)
+        return train(args, cfg, world, splits, aug_features)
     if args.mode == "valid":
         return valid(args, cfg, world, splits)
     if args.mode == "extract_cfp_features":

@@ -50,6 +50,10 @@ class ModelConfig:
     graph_sprels: bool = True
     glocal_fuse: bool = True             # dynamic global/local fusion
     adaptive_pano_fusion: bool = True
+    # which action scores drive the policy (parser.py:16):
+    # dynamic = learned-gate fusion, avg = fixed 0.5 gate, global = global
+    # branch only, local = local (viewpoint) branch action space
+    fusion: str = "dynamic"
 
     # causal interventions (GOAT lineage); off by default like the valid script
     do_back_txt: bool = False
@@ -58,6 +62,7 @@ class ModelConfig:
     do_front_img: bool = False
     do_front_his: bool = False
     do_back_txt_type: str = "type_2"     # type_1: p(z) prior; type_2: attention
+    do_back_img_type: str = "type_1"     # image backdoor variant (parser.py:138)
     do_add_method: str = "door"          # door | add
     cfp_temperature: float = 1.0
 
@@ -99,6 +104,12 @@ class EnvConfig:
     error_margin: float = 3.0            # success threshold (env.py:21)
     expert_policy: str = "spl"           # spl | ndtw
     dataset: str = "r2r"
+    # expl_sample feedback: fraction of steps that follow argmax instead of
+    # exploring a random unvisited token (parser.py:18)
+    expl_max_ratio: float = 0.6
+    # only the current viewpoint counts as "visited" in the gmap token
+    # classification, so earlier nodes stay selectable (agent.py:186)
+    act_visited_nodes: bool = False
     # exact reference semantics: gmap distances/paths over the incrementally
     # observed subgraph (GraphMap behavior) instead of precomputed full-graph
     # tables; costs a [B, N, N] distance matrix in the episode state
@@ -167,6 +178,13 @@ class TrainConfig:
     # keeps MXU outputs resident and recomputes only the cheap elementwise
     # work — less recompute, more HBM.  Pick per shape/batch.
     remat_policy: str = "full"
+    # parameter freezing (reference parser.py declares fix_lang_embedding /
+    # fix_local_branch / fix_pano_embedding but its released code never
+    # consumes them; here they actually freeze via a zero-update optimizer
+    # mask, Trainer._frozen_mask)
+    fix_lang_embedding: bool = False
+    fix_local_branch: bool = False
+    fix_pano_embedding: bool = False
 
 
 @dataclass
@@ -236,8 +254,19 @@ _FLAG_MAP = {
     "do_front_img": ("model", "do_front_img"),
     "do_front_his": ("model", "do_front_his"),
     "do_back_txt_type": ("model", "do_back_txt_type"),
+    "do_back_img_type": ("model", "do_back_img_type"),
     "do_add_method": ("model", "do_add_method"),
     "cfp_temperature": ("model", "cfp_temperature"),
+    "fusion": ("model", "fusion"),
+    "image_feat_size": ("model", "image_feat_size"),
+    "expl_max_ratio": ("env", "expl_max_ratio"),
+    "act_visited_nodes": ("env", "act_visited_nodes"),
+    "gamma": ("train", "gamma"),
+    "entropy_loss_weight": ("train", "entropy_loss_weight"),
+    "featdropout": ("train", "feat_dropout"),   # legacy alias (parser.py:115)
+    "fix_lang_embedding": ("train", "fix_lang_embedding"),
+    "fix_local_branch": ("train", "fix_local_branch"),
+    "fix_pano_embedding": ("train", "fix_pano_embedding"),
 }
 
 
@@ -251,7 +280,9 @@ def from_reference_flags(flags: dict) -> MagicConfig:
     cfg = MagicConfig()
     sections = {"model": {}, "env": {}, "train": {}, "distill": {}}
     for key, value in flags.items():
-        if key in _FLAG_MAP:
+        # None means "not given" for alias flags (e.g. --featdropout, the
+        # legacy spelling of --feat_dropout) — never overwrite with it
+        if key in _FLAG_MAP and value is not None:
             sec, name = _FLAG_MAP[key]
             if name == "ability_types" and isinstance(value, list):
                 value = tuple(value)
@@ -263,21 +294,44 @@ def from_reference_flags(flags: dict) -> MagicConfig:
     teacher_heads = int(flags.get("teacher_num_attention_heads", teacher_hidden // 64))
 
     model = dataclasses.replace(ModelConfig(), **sections["model"])
+    # fusion 'avg' fixes the global/local gate at 0.5 (the reference's
+    # non-dynamic fuse; agent call sites + parser.py:16)
+    if model.fusion == "avg":
+        model = dataclasses.replace(model, glocal_fuse=False)
     train_kdl = bool(sections["distill"].get("train_kdl", False))
+
+    def role_dim(role, name, default, hidden):
+        v = flags.get(f"{role}_{name}")
+        if v is None and name == "mlp_ratio":
+            # *_intermediate_size is the explicit spelling of the same knob
+            inter = flags.get(f"{role}_intermediate_size")
+            v = (int(inter) // hidden) if inter else None
+        return int(v) if v is not None else default
+
     # VLNBert(role='student') always takes student_* dims (parser.py:186-192);
     # KD projection heads exist only when distilling.
     student = model.derive(
         student_hidden, student_heads,
-        num_l_layers=int(flags.get("student_num_l_layers", model.num_l_layers)),
-        num_pano_layers=int(flags.get("student_num_pano_layers", model.num_pano_layers)),
-        num_x_layers=int(flags.get("student_num_x_layers", model.num_x_layers)),
+        num_l_layers=role_dim("student", "num_l_layers", model.num_l_layers,
+                              student_hidden),
+        num_pano_layers=role_dim("student", "num_pano_layers",
+                                 model.num_pano_layers, student_hidden),
+        num_x_layers=role_dim("student", "num_x_layers", model.num_x_layers,
+                              student_hidden),
+        mlp_ratio=role_dim("student", "mlp_ratio", model.mlp_ratio,
+                           student_hidden),
         kd_heads=train_kdl, kd_target_size=teacher_hidden,
     )
     teacher = model.derive(
         teacher_hidden, teacher_heads,
-        num_l_layers=int(flags.get("teacher_num_l_layers", model.num_l_layers)),
-        num_pano_layers=int(flags.get("teacher_num_pano_layers", model.num_pano_layers)),
-        num_x_layers=int(flags.get("teacher_num_x_layers", model.num_x_layers)),
+        num_l_layers=role_dim("teacher", "num_l_layers", model.num_l_layers,
+                              teacher_hidden),
+        num_pano_layers=role_dim("teacher", "num_pano_layers",
+                                 model.num_pano_layers, teacher_hidden),
+        num_x_layers=role_dim("teacher", "num_x_layers", model.num_x_layers,
+                              teacher_hidden),
+        mlp_ratio=role_dim("teacher", "mlp_ratio", model.mlp_ratio,
+                           teacher_hidden),
         kd_heads=bool(flags.get("train_kdl_teacher", False)),
         kd_target_size=student_hidden,
     )
