@@ -210,3 +210,38 @@ def test_backdoor_tsv_roundtrip(tmp_path):
     loaded = load_backdoor_tsv(q, 8)
     assert loaded["direction"].keys == ["left"]
     assert loaded["landmark"].keys == ["sofa"]
+
+
+def test_reference_pretrain_json_schema_lands():
+    """The reference pretrain JSON (r2r_magic_pretrain.json schema: nested
+    kdl block with its own key spellings, train_datasets tasks/mix_ratio
+    lists) translates into the config tree."""
+    from vln_magic_tpu.cli.train_pretrain import reference_pretrain_flags
+
+    blob = {
+        "train_batch_size": 48, "learning_rate": 5e-5,
+        "num_train_steps": 200000, "warmup_steps": 10000,
+        "grad_norm": 5.0, "max_txt_len": 200, "optim": "adamw",
+        "weight_decay": 0.01, "seed": 0,
+        "train_datasets": {"R2R": {"tasks": ["mlm", "sap", "cfp"],
+                                   "mix_ratio": [1, 2, 1]}},
+        "kdl": {"knowledge_distillation": True, "train_teacher": False,
+                "kd_alpha": 0.5, "kd_temperature": 2, "kd_loss": "mse",
+                "kdl_attn_loss": "mse", "kdl_logits_loss": "kd",
+                "kdl_adaptive_ability_weight": True,
+                "kdl_adaptive_ability_weight_type": "RW", "rw_temp": 4,
+                "teacher_sample_hard_mining": True,
+                "t_sample_preprocess": "exp",
+                "t_sample_preprocess_exp_decay": 0.7},
+    }
+    flags, ratios = reference_pretrain_flags(blob)
+    assert ratios == {"mlm": 1, "sap": 2, "cfp": 1}
+    cfg = from_reference_flags(flags)
+    assert cfg.distill.train_kdl and not cfg.distill.train_teacher
+    assert cfg.distill.alpha == 0.5 and cfg.distill.temperature == 2
+    assert cfg.distill.logit_loss == "kd" and cfg.distill.rw_temp == 4
+    assert cfg.distill.teacher_sample_hard_mining
+    assert cfg.train.lr == 5e-5 and cfg.train.iters == 200000
+    assert cfg.train.warmup_iters == 10000 and cfg.train.grad_clip == 5.0
+    assert cfg.train.weight_decay == 0.01
+    assert cfg.env.max_instr_len == 200

@@ -84,3 +84,35 @@ def test_parity_decode_matches_golden():
     with open(GOLDEN_PARITY) as f:
         want = json.load(f)
     assert got == want, "parity-mode greedy decode diverged from golden"
+
+
+GOLDEN_LOCAL = os.path.join(os.path.dirname(__file__),
+                            "golden_decode_local.json")
+
+
+def test_local_fusion_decode_matches_golden():
+    """Pins the fusion='local' action space (viewpoint-candidate slots,
+    no visited masking) the same way the dynamic/parity decodes are pinned."""
+    world = make_synthetic_world(num_scans=2, nodes_per_scan=20, feat_dim=24,
+                                 seed=777)
+    cfg = MagicConfig(
+        model=ModelConfig(vocab_size=400, hidden_size=64,
+                          num_attention_heads=2, num_l_layers=2,
+                          num_pano_layers=1, num_x_layers=2,
+                          image_feat_size=24, max_position_embeddings=64,
+                          fusion="local"),
+        env=EnvConfig(max_action_len=8, max_gmap_len=24, max_instr_len=48),
+        train=TrainConfig(batch_size=8),
+    )
+    nav = Navigator(cfg, world, rng=jax.random.PRNGKey(777))
+    items = make_synthetic_instructions(world, 8, np.random.default_rng(777),
+                                        vocab_size=400, min_path=3, max_path=6)
+    (_, _), preds = nav.evaluate(items, batch_size=8)
+    got = [p["trajectory_idx"] for p in preds]
+    if not os.path.exists(GOLDEN_LOCAL):
+        with open(GOLDEN_LOCAL, "w") as f:
+            json.dump(got, f)
+        pytest.skip("local-fusion golden created on first run")
+    with open(GOLDEN_LOCAL) as f:
+        want = json.load(f)
+    assert got == want, "fusion='local' greedy decode diverged from golden"

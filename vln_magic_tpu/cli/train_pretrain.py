@@ -56,6 +56,44 @@ def parse_args(argv=None):
     return args
 
 
+def reference_pretrain_flags(blob: dict) -> tuple[dict, dict]:
+    """Translate the reference pretrain JSON schema into flag names
+    from_reference_flags understands, plus the task-mix ratios.
+
+    Handles the nested ``kdl`` block's distinct key spellings
+    (r2r_magic_pretrain.json: knowledge_distillation / kd_alpha /
+    kd_temperature / kd_loss / kdl_logits_loss / train_teacher) and
+    ``train_datasets.<name>.tasks`` + ``mix_ratio`` lists
+    (train_r2r_magic.py:42-73 create_dataloaders)."""
+    flags = dict(blob)
+    kdl = blob.get("kdl") or {}
+    rename = {
+        "knowledge_distillation": "train_kdl",
+        "kd_alpha": "kdl_alpha",
+        "kd_temperature": "kdl_temperature",
+        "kd_loss": "kdl_feat_loss",
+        "kdl_logits_loss": "kdl_logit_loss",
+        "train_teacher": "train_kdl_teacher",
+    }
+    for k, v in kdl.items():
+        flags.setdefault(rename.get(k, k), v)
+    # top-level spellings that differ from the nav parser
+    for src, dst in (("learning_rate", "lr"), ("grad_norm", "grad_clip"),
+                     ("max_txt_len", "max_instr_len"),
+                     ("num_train_steps", "iters"),
+                     ("warmup_steps", "warmup_iters")):
+        if src in blob:
+            flags.setdefault(dst, blob[src])
+    ratios = None
+    for ds in (blob.get("train_datasets") or {}).values():
+        tasks = ds.get("tasks")
+        mix = ds.get("mix_ratio")
+        if tasks:
+            ratios = dict(zip(tasks, mix or [1] * len(tasks)))
+            break
+    return flags, ratios
+
+
 def main(argv=None):
     args = parse_args(argv)
     from ..config import MagicConfig, ModelConfig, DistillConfig, TrainConfig, \
@@ -70,10 +108,12 @@ def main(argv=None):
     logger = MetricsLogger(args.output_dir)
 
     model_blob = {}
-    if args.model_config and os.path.exists(args.model_config):
-        with open(args.model_config) as f:
+    model_cfg_path = args.model_config or args.config_blob.get("model_config")
+    if model_cfg_path and os.path.exists(model_cfg_path):
+        with open(model_cfg_path) as f:
             model_blob = json.load(f)
-    flags = {**model_blob, **args.config_blob}
+    cfg_flags, cfg_ratios = reference_pretrain_flags(args.config_blob)
+    flags = {**model_blob, **cfg_flags}
     flags.setdefault("train_kdl", args.train_kdl)
     cfg = from_reference_flags(flags)
     cfg = dataclasses.replace(
@@ -106,7 +146,8 @@ def main(argv=None):
     if args.checkpoint and mgr.has(args.checkpoint):
         trainer.params = mgr.restore(args.checkpoint, template=trainer.params)
 
-    ratios = args.config_blob.get("mix_ratio", {"mlm": 1, "sap": 1, "cfp": 1})
+    ratios = cfg_ratios or args.config_blob.get(
+        "mix_ratio", {"mlm": 1, "sap": 1, "cfp": 1})
     done = 0
     while done < args.num_train_steps:
         n = min(args.valid_steps, args.num_train_steps - done)

@@ -263,6 +263,9 @@ _FLAG_MAP = {
     "act_visited_nodes": ("env", "act_visited_nodes"),
     "gamma": ("train", "gamma"),
     "entropy_loss_weight": ("train", "entropy_loss_weight"),
+    "grad_clip": ("train", "grad_clip"),
+    "warmup_iters": ("train", "warmup_iters"),
+    "weight_decay": ("train", "weight_decay"),
     "featdropout": ("train", "feat_dropout"),   # legacy alias (parser.py:115)
     "fix_lang_embedding": ("train", "fix_lang_embedding"),
     "fix_local_branch": ("train", "fix_local_branch"),
