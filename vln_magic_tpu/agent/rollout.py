@@ -142,9 +142,15 @@ def relax_observed(state: EpisodeBatch, tables: Tables, v, live):
                          preferred_element_type=jnp.float32)
     row_v_s = jnp.einsum("bn,bnm->bm", onehot_v, S,
                          preferred_element_type=jnp.float32)
-    best_c = jnp.argmin(via_d, axis=1)                      # [B, N]
-    min_via_d = jnp.take_along_axis(via_d, best_c[:, None, :], 1)[:, 0]
-    min_via_s = jnp.take_along_axis(via_s, best_c[:, None, :], 1)[:, 0]
+    # min over candidates + the matching hop count WITHOUT a gather: an
+    # argmin + take_along_axis here has per-lane-varying indices (the index
+    # depends on the minor axis) and scalarizes — measured 11.7 ms/step,
+    # ~46% of parity device time.  A first-minimum mask + masked reduce is
+    # pure VPU work with identical tie-breaking (first minimal c).
+    min_via_d = jnp.min(via_d, axis=1)                      # [B, N]
+    is_min = via_d == min_via_d[:, None, :]
+    first_min = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1)
+    min_via_s = jnp.sum(jnp.where(first_min, via_s, 0.0), axis=1)
     use_via = min_via_d < row_v_d
     row_d = jnp.where(use_via, min_via_d, row_v_d)
     row_s = jnp.where(use_via, min_via_s, row_v_s)
@@ -731,7 +737,12 @@ class Rollout:
             # greedy next over OBSERVED edges: argmin_c w(p, c) + d_obs(c, t)
             # — walks an exact observed-subgraph shortest path (the
             # reference's GraphMap.path)
-            dcol = jnp.einsum("bnm,bm->bn", state.obs_dist, onehot_tgt,
+            # obs_dist is symmetric (undirected edges; the outer-sum relax
+            # preserves symmetry), so contract the SAME axis as every other
+            # consumer: contracting the minor axis here made XLA keep a
+            # second, transposed layout of both [B,N,N] carries and insert
+            # 105 MB layout-change copies every step
+            dcol = jnp.einsum("bn,bnm->bm", onehot_tgt, state.obs_dist,
                               preferred_element_type=jnp.float32)
             wt = self._observed_walk_tables(state)
         else:
@@ -1204,8 +1215,11 @@ class Rollout:
         bi = jnp.arange(b)
         n = t.node_mask.shape[1]
         moving = stop_node != state.cur
-        dcol = jnp.einsum("bnm,bm->bn", state.obs_dist,
+        # symmetric obs_dist: contract the same axis as all other consumers
+        # (see the layout note in transition)
+        dcol = jnp.einsum("bn,bnm->bm",
                           jax.nn.one_hot(stop_node, n, dtype=jnp.float32),
+                          state.obs_dist,
                           preferred_element_type=jnp.float32)
         wt = self._observed_walk_tables(state)
 
