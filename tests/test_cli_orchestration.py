@@ -147,3 +147,28 @@ def test_sigterm_writes_emergency_state(tmp_path):
     assert rc == 143
     assert os.path.exists(state_dir)
     assert "emergency train state saved" in open(record).read()
+
+
+def test_valid_loads_dict_files(tmp_path):
+    """--s_backdoor_dict_file / --s_frontdooor TSVs feed valid()'s z-dicts
+    (the reference's dictionary-file plumbing, main_nav.py:574-592) instead
+    of the rebuild-from-model path."""
+    import numpy as np
+
+    from vln_magic_tpu.agent.interventions import Zdict, save_backdoor_tsv
+
+    rng = np.random.default_rng(0)
+    back = str(tmp_path / "s_backdoor.tsv")
+    save_backdoor_tsv(back, {
+        "direction": Zdict(rng.standard_normal((3, 32)).astype(np.float32),
+                           np.array([0.5, 0.3, 0.2]),
+                           ["left", "right", "forward"]),
+        "landmark": Zdict(rng.standard_normal((2, 32)).astype(np.float32),
+                          np.array([0.6, 0.4]), ["table", "door"]),
+    })
+    out = main(tiny_args(
+        tmp_path, "dictfiles", "--mode", "valid",
+        "--do_back_txt", "--s_backdoor_dict_file", back))
+    # valid() returns per-split metrics; reaching here means the rollout
+    # consumed the file-loaded dicts (shape/broadcast contract holds)
+    assert "val_seen" in out and np.isfinite(out["val_seen"]["sr"])

@@ -49,29 +49,33 @@ class MultiHeadAttention(nn.Module):
         k = dense("key")(kv_input)
         v = dense("value")(kv_input)
 
-        def split(x):
-            return x.reshape(x.shape[:-1] + (h, hd)).transpose(0, 2, 1, 3)
-
-        q, k, v = split(q), split(k), split(v)
+        # heads stay in place ([B, L, H, hd]) and the einsums carry the head
+        # axis — explicit (0,2,1,3) transposes materialized as per-step
+        # layout copies inside the rollout scan (the profile's copy bucket)
+        q = q.reshape(q.shape[:-1] + (h, hd))
+        k = k.reshape(k.shape[:-1] + (h, hd))
+        v = v.reshape(v.shape[:-1] + (h, hd))
         if (self.use_pallas and deterministic
                 and jax.default_backend() == "tpu"):
-            # fused Pallas path (no attention-prob dropout; eval/inference)
+            # fused Pallas path (no attention-prob dropout; eval/inference);
+            # the kernel wants [B, H, L, hd]
             from ..ops.attention import fused_attention
 
+            tq, tk, tv = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
             zero = jnp.zeros((1, 1, 1, 1), self.dtype)
-            ctx, probs_avg = fused_attention(q, k, v,
+            ctx, probs_avg = fused_attention(tq, tk, tv,
                                              zero if bias is None else bias)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(
-                ctx.shape[0], ctx.shape[2], d)
+                ctx.shape[0], ctx.shape[1], d)
             out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
             return out, probs_avg
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
         if bias is not None:
             scores = scores + bias.astype(scores.dtype)
         probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
         probs_drop = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_drop, v)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(ctx.shape[0], ctx.shape[2], d)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs_drop, v)
+        ctx = ctx.reshape(ctx.shape[0], ctx.shape[1], d)
         out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
         return out, probs.mean(axis=1)
 
