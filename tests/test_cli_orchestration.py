@@ -125,22 +125,24 @@ def test_sigterm_writes_emergency_state(tmp_path):
     record = os.path.join(str(tmp_path), "navigator", "sig", "logs",
                           "train.txt")
     try:
-        # generous deadlines: on the 1-CPU box the subprocess's compiles run
-        # ~50-90 s solo but have measured ~10x slower inside the full suite
-        # (host scheduling; see ROADMAP).  The TERM handler also can't run
-        # until any in-flight XLA compile returns.
-        deadline = time.time() + 900
-        # wait until at least one interval committed (record file has iters)
+        # Gate on the pre-compile "armed" marker, not the first interval:
+        # in-suite the subprocess's train-step compile has measured >900 s
+        # on this 1-CPU box (vs ~60 s solo), and a TERM landing inside an
+        # XLA compile defers the handler until the compile returns.  The
+        # contract under test — SIGTERM -> emergency orbax state -> exit
+        # 143 — is live as soon as the handler is installed.
+        deadline = time.time() + 600
         while time.time() < deadline:
-            if os.path.exists(record) and "iter " in open(record).read():
+            if os.path.exists(record) and "armed" in open(record).read():
                 break
             if proc.poll() is not None:
                 raise AssertionError(proc.stderr.read()[-2000:])
             time.sleep(2)
         else:
-            raise AssertionError("training never reached the first interval")
+            raise AssertionError("training never armed the SIGTERM handler")
+        time.sleep(2)
         proc.send_signal(signal.SIGTERM)
-        rc = proc.wait(timeout=300)
+        rc = proc.wait(timeout=600)
     finally:
         if proc.poll() is None:
             proc.kill()

@@ -499,6 +499,9 @@ def train(args, cfg, world, splits, aug_features=None):
         raise SystemExit(143)
 
     prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    # the preemption-safety contract is live from here on (and testable
+    # before the first train-step compile lands)
+    write_to_record_file("training loop armed (SIGTERM-safe)", record)
 
     nav = Navigator(cfg, world, params=trainer.params)
     grad_aw = (cfg.distill.adaptive_ability_weight
