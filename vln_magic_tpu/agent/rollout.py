@@ -1173,15 +1173,39 @@ class Rollout:
         per-iteration row select is a one-hot contraction (point gathers
         inside the walk loop serialize)."""
         t = self.t
-        b = state.batch_size
         n = t.node_mask.shape[1]
         cand_all = t.cand_ids[state.scan].astype(jnp.float32)    # [B, N, C]
         w_all = t.cand_dist[state.scan]
         cmask_all = t.cand_mask[state.scan].astype(jnp.float32)
-        c = cand_all.shape[2]
-        idx = jnp.maximum(t.cand_ids[state.scan], 0).reshape(b, n * c)
-        vis_all = jnp.take_along_axis(
-            state.visited.astype(jnp.float32), idx, axis=1).reshape(b, n, c)
+        # visited flag of every candidate, WITHOUT a take_along_axis: the
+        # [B, N*C] gather with per-lane-varying indices scalarized into the
+        # single hottest op of parity mode (profiled 11.7 ms/step, 46% of
+        # device time; trace source pointed exactly here).  The candidate
+        # index table is per-SCAN constant, so contract the visited bitmap
+        # against a loop-invariant per-scan one-hot instead — two MXU
+        # einsums (~1.1 GMAC at the honest shape).
+        s, _, c = t.cand_ids.shape
+        n1 = state.visited.shape[1]
+        b = state.batch_size
+        # static memory guard: the per-scan one-hot is [S, N, C, N+1] f32
+        # and the intermediate [B, S, N, C]; at Matterport scale (90 scans)
+        # they blow past HBM, so large worlds keep the gather.
+        if s * n * c * n1 * 4 <= 64 << 20 and b * s * n * c * 4 <= 64 << 20:
+            cand_hot = (jax.nn.one_hot(jnp.maximum(t.cand_ids, 0), n1,
+                                       dtype=jnp.float32)
+                        * t.cand_mask[..., None])    # [S, N, C, N+1] const
+            vis_s = jnp.einsum("bv,sncv->bsnc",
+                               state.visited.astype(jnp.float32), cand_hot,
+                               preferred_element_type=jnp.float32)
+            vis_all = jnp.einsum(
+                "bs,bsnc->bnc", jax.nn.one_hot(state.scan, s,
+                                               dtype=jnp.float32),
+                vis_s, preferred_element_type=jnp.float32)
+        else:
+            idx = jnp.maximum(t.cand_ids[state.scan], 0).reshape(b, n * c)
+            vis_all = jnp.take_along_axis(
+                state.visited.astype(jnp.float32), idx, axis=1
+            ).reshape(b, n, c)
         return {"cand": cand_all, "w": w_all, "cmask": cmask_all,
                 "vis": vis_all, "n": n}
 
