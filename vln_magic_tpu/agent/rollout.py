@@ -1221,10 +1221,14 @@ class Rollout:
         on_obs = (row(wt["cmask"]) > 0.5) & (
             (row(wt["vis"]) > 0.5)
             | state.visited[jnp.arange(p.shape[0]), p][:, None])
-        cost = jnp.where(on_obs,
-                         w_row + jnp.take_along_axis(
-                             dcol, jnp.maximum(cand_row, 0), 1),
-                         jnp.float32(INF_DIST))
+        # candidate distances via a one-hot contraction — take_along_axis
+        # with per-lane-varying indices scalarizes (same pathology as the
+        # visited-table gather, _observed_walk_tables)
+        dhot = jax.nn.one_hot(jnp.maximum(cand_row, 0), wt["n"],
+                              dtype=jnp.float32)           # [B, C, N]
+        d_cand = jnp.einsum("bcn,bn->bc", dhot, dcol,
+                            preferred_element_type=jnp.float32)
+        cost = jnp.where(on_obs, w_row + d_cand, jnp.float32(INF_DIST))
         j = jnp.argmin(cost, axis=1)
         nxt = jnp.take_along_axis(cand_row, j[:, None], 1)[:, 0]
         ok = jnp.take_along_axis(cost, j[:, None], 1)[:, 0] < INF_DIST / 2
