@@ -90,14 +90,33 @@ def test_pretrain_meta_loop_and_validate(world, items):
     tr = PretrainTrainer(cfg, world, image_prob_size=50,
                          builder_kwargs=dict(max_steps=5, max_gmap=16,
                                              max_txt=32))
-    hist = tr.fit(items, iters=4)
+    hist = tr.fit(items, iters=5)
     tasks = {h["task"] for h in hist}
-    assert tasks <= {"mlm", "sap", "cfp"}
+    assert tasks <= {"mlm", "mrc", "sap", "cfp"}
     assert all(np.isfinite(h["loss"]) for h in hist)
     assert all("kd" in h for h in hist)
     val = tr.validate(items, num_batches=1)
-    for k in ("mlm_acc", "sap_gacc", "sap_lacc", "sap_facc", "cfp_acc"):
+    for k in ("mlm_acc", "mrc_acc", "sap_gacc", "sap_lacc", "sap_facc",
+              "cfp_acc"):
         assert k in val and 0.0 <= val[k] <= 1.0
+
+
+def test_mrc_task_trains_and_converges(world, items):
+    """MRC reachable end-to-end from the training loop (the reference wires
+    an MRC dataloader + validate_mrc, train_r2r_magic.py:50-52,419-420,476)."""
+    cfg = _cfg()
+    tr = PretrainTrainer(cfg, world, image_prob_size=50,
+                         builder_kwargs=dict(max_steps=5, max_gmap=16,
+                                             max_txt=32))
+    hist = tr.fit(items, iters=6, task_ratios={"mrc": 1})
+    assert {h["task"] for h in hist} == {"mrc"}
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    batch = tr._fill("mrc", tr.builder.mrc_batch(items[:4]))
+    m1 = tr.train_step("mrc", batch)
+    for _ in range(9):
+        m = tr.train_step("mrc", batch)
+    assert m["loss"] < m1["loss"]
+    assert 0.0 <= m["mrc_acc"] <= 1.0
 
 
 def test_og_task(world, items):
@@ -248,6 +267,6 @@ def test_reverie_og_pretraining_converges(world):
     assert np.isfinite(m["loss"]) and m["loss"] < m1["loss"]
     # og joins the task mix and the validators when an obj_db is attached
     hist = tr.fit(items, iters=6)
-    assert {h["task"] for h in hist} <= {"mlm", "sap", "cfp", "og"}
+    assert {h["task"] for h in hist} <= {"mlm", "mrc", "sap", "cfp", "og"}
     val = tr.validate(items, num_batches=1)
     assert "og_acc" in val and 0.0 <= val["og_acc"] <= 1.0

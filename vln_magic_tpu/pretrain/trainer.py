@@ -219,17 +219,29 @@ class PretrainTrainer:
             builders = {
                 "mlm": lambda: self._fill(
                     "mlm", self.builder.mlm_batch(sampler.next_batch())),
+                "mrc": lambda: self._fill(
+                    "mrc", self.builder.mrc_batch(sampler.next_batch())),
                 "sap": lambda: self._fill(
                     "sap", self.builder.sap_batch(sampler.next_batch())),
                 "cfp": lambda: self._fill(
                     "cfp", self.builder.cfp_batch(sampler.next_batch())),
             }
-            ratios = dict(task_ratios or {"mlm": 1, "sap": 1, "cfp": 1})
             if self.builder.obj_db is not None:
                 # REVERIE adds object grounding to the task mix (OGDataset)
                 builders["og"] = lambda: self._fill(
                     "og", self.builder.og_batch(sampler.next_batch()))
-                ratios.setdefault("og", 1)
+            # all four R2R proxy tasks are in the default mix, matching the
+            # reference's dataloader creation (train_r2r_magic.py:50-52).
+            # An explicit task_ratios dict names the EXACT task set (the
+            # reference only builds dataloaders for configured train_tasks).
+            if task_ratios is None:
+                ratios = {n: 1 for n in builders}
+            else:
+                ratios = {n: r for n, r in task_ratios.items() if r > 0}
+                unknown = set(ratios) - set(builders)
+                if unknown:
+                    raise ValueError(f"unknown pretrain tasks: {unknown}")
+                builders = {n: builders[n] for n in ratios}
             self._loader = MetaLoader(builders, ratios=ratios,
                                       seed=self.cfg.train.seed)
         self._sampler.items = items
@@ -259,7 +271,9 @@ class PretrainTrainer:
         bs = batch_size or self.cfg.train.batch_size
         sampler = ItemSampler(items, bs, 1234)
         out = {}
-        tasks = ("mlm", "sap", "cfp") + (
+        # validate every proxy task like the reference (train_r2r_magic.py:
+        # 419-420 validates mlm+mrc+sap; :476-501 validate_mrc)
+        tasks = ("mlm", "mrc", "sap", "cfp") + (
             ("og",) if self.builder.obj_db is not None else ())
         for task in tasks:
             accs = []
