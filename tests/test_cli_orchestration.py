@@ -174,3 +174,28 @@ def test_valid_loads_dict_files(tmp_path):
     # valid() returns per-split metrics; reaching here means the rollout
     # consumed the file-loaded dicts (shape/broadcast contract holds)
     assert "val_seen" in out and np.isfinite(out["val_seen"]["sr"])
+
+
+def test_speaker_checkpoint_roundtrip_through_cli(tmp_path):
+    """VERDICT round-2 item 5: a run with --use_transpeaker saves the
+    speaker in the transpeaker container; a second run consumes it via
+    --speaker (the reference loads --speaker for the aug path,
+    transpeaker.py:322-344)."""
+    common = tiny_args(
+        tmp_path, "spk", "--mode", "train", "--iters", "2",
+        "--log_every", "2", "--train_alg", "imitation",
+        "--aug", "synthetic", "--use_transpeaker", "--aug_times", "1",
+        "--hDim", "64", "--wemb", "48",
+        "--speaker_layer_num", "1", "--speaker_head_num", "2",
+        "--maxDecode", "16")
+    main(common)
+    ckpt = os.path.join(str(tmp_path), "navigator", "spk", "ckpts",
+                        "speaker_latest.pt")
+    assert os.path.exists(ckpt)
+
+    a = list(common)
+    a[a.index("spk") ] = "spk2"
+    main(a + ["--speaker", ckpt])
+    record = open(os.path.join(str(tmp_path), "navigator", "spk2", "logs",
+                               "train.txt")).read()
+    assert f"loaded speaker checkpoint {ckpt}" in record

@@ -11,6 +11,8 @@ feature-dropout noise (drop_env, agent.py:737-752).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,15 +82,22 @@ class Speaker:
     def __init__(self, world, feat_dim: int, vocab_size: int,
                  max_steps: int = 10, max_len: int = 40, lr: float = 1e-4,
                  hidden: int = 512, layers: int = 3, heads: int = 4,
-                 rng=None, feat_dropout: float = 0.3):
+                 word_size: int = 256, rng=None, feat_dropout: float = 0.3):
         self.world = world
         self.t = world.tables
         self.S = max_steps
         self.L = max_len
         self.feat_dim = feat_dim
         self.feat_dropout = feat_dropout
+        # ctor contract transpeaker.py:34-39: feature_size, hidden_size
+        # (--hDim), word_size (--wemb), tgt_vocab_size.  --aemb,
+        # --proj_hidden and --subout are parsed by the reference
+        # (parser.py:107-113) but never reach its Transpeaker — they are
+        # legacy LSTM-speaker knobs; we keep the same accept-and-ignore
+        # behavior at the CLI.
         self.model = TransSpeaker(vocab_size=vocab_size, hidden_size=hidden,
-                                  num_layers=layers, num_heads=heads)
+                                  word_size=word_size, num_layers=layers,
+                                  num_heads=heads)
         if rng is None:
             rng = jax.random.PRNGKey(0)
         k, self.rng = jax.random.split(rng)
@@ -102,6 +111,48 @@ class Speaker:
         self._train_step = None
         self._infer = None
         self._infer_sample = False
+
+    # ----- checkpointing (transpeaker.py:322-344) -----
+
+    def save(self, epoch: int, path: str):
+        """Snapshot in the reference container format:
+        ``{'transpeaker': {'epoch', 'state_dict', 'optimizer'}}``
+        (transpeaker.py:322-337).  The optimizer state is stored as ordered
+        leaves; its tree structure is rebuilt from the live opt on load."""
+        import torch
+
+        from ..utils.checkpoint import flatten_params
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        state_dict = {k: torch.from_numpy(np.array(v, copy=True))
+                      for k, v in flatten_params(self.params).items()}
+        opt_leaves = [np.asarray(x) for x in
+                      jax.tree_util.tree_leaves(self.opt_state)]
+        torch.save({"transpeaker": {"epoch": epoch + 1,
+                                    "state_dict": state_dict,
+                                    "optimizer": opt_leaves}}, path)
+
+    def load(self, path: str, load_optim: bool = False) -> int:
+        """Load parameters (and optionally optimizer state, the reference's
+        ``loadOptim``, transpeaker.py:338-352).  Returns the stored epoch."""
+        import torch
+
+        from ..utils.checkpoint import unflatten_params
+
+        states = torch.load(path, map_location="cpu", weights_only=False)
+        blob = states["transpeaker"]
+        flat = {k: v.detach().numpy() for k, v in blob["state_dict"].items()}
+        nested, missing, unexpected = unflatten_params(flat, self.params)
+        if missing or unexpected:
+            raise ValueError(
+                f"speaker checkpoint mismatch: missing={missing[:3]} "
+                f"unexpected={unexpected[:3]}")
+        self.params = jax.tree_util.tree_map(jnp.asarray, nested)
+        if load_optim and blob.get("optimizer") is not None:
+            treedef = jax.tree_util.tree_structure(self.opt_state)
+            leaves = [jnp.asarray(x) for x in blob["optimizer"]]
+            self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        return int(blob.get("epoch", 0))
 
     # ----- feature assembly (from_shortest_path, transpeaker.py:159) -----
 

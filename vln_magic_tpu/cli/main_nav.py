@@ -531,7 +531,15 @@ def train(args, cfg, world, splits, aug_features=None):
             max_steps=cfg.env.max_action_len,
             max_len=min(args.max_decode, 80), hidden=args.h_dim,
             layers=args.speaker_layer_num, heads=args.speaker_head_num,
+            word_size=args.wemb,
             feat_dropout=args.featdropout or cfg.train.feat_dropout)
+        if args.speaker:
+            # pretrained speaker checkpoint (main_nav.py loads --speaker
+            # into the aug path; format transpeaker.py:322-344)
+            ep = speaker.load(args.speaker)
+            write_to_record_file(
+                f"loaded speaker checkpoint {args.speaker} (epoch {ep})",
+                record)
 
     def run_validation(it, save_best=True):
         nav.params = trainer.params
@@ -611,6 +619,11 @@ def train(args, cfg, world, splits, aug_features=None):
             trainer.save(os.path.join(args.ckpt_dir, "latest_dict.pt"),
                          save_optimizer=args.save_optimizer)
             trainer.save_state(args.ckpt_dir)
+            if speaker is not None:
+                # speaker snapshot in the transpeaker container format so a
+                # later run can resume it via --speaker
+                speaker.save(it, os.path.join(args.ckpt_dir,
+                                              "speaker_latest.pt"))
     finally:
         signal.signal(signal.SIGTERM, prev_handler)
         logger.close()

@@ -24,6 +24,9 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--hDim", type=int, default=512)
+    p.add_argument("--wemb", type=int, default=256)
+    p.add_argument("--speaker", default=None,
+                   help="checkpoint to resume from (transpeaker container)")
     p.add_argument("--speaker_layer_num", type=int, default=3)
     p.add_argument("--speaker_head_num", type=int, default=4)
     p.add_argument("--featdropout", type=float, default=0.3)
@@ -65,7 +68,12 @@ def main(argv=None):
                  vocab_size=tok.vocab_size, max_steps=8,
                  max_len=args.maxDecode, hidden=args.hDim,
                  layers=args.speaker_layer_num, heads=args.speaker_head_num,
-                 lr=args.lr, feat_dropout=args.featdropout)
+                 word_size=args.wemb, lr=args.lr,
+                 feat_dropout=args.featdropout)
+    if args.speaker and os.path.exists(args.speaker):
+        ep = sp.load(args.speaker, load_optim=True)
+        write_to_record_file(f"resumed speaker from {args.speaker} "
+                             f"(epoch {ep})", record)
     order = rng.permutation(len(items))
     pos = 0
     for it_num in range(1, args.iters + 1):
@@ -81,6 +89,9 @@ def main(argv=None):
             write_to_record_file(
                 f"iter {it_num}/{args.iters} loss={loss:.3f} bleu={bleu:.1f}",
                 record)
+    ckpt = os.path.join(args.output_dir, "speaker.pt")
+    sp.save(args.iters, ckpt)
+    write_to_record_file(f"saved speaker checkpoint {ckpt}", record)
     logger.close()
     return sp, tok
 
