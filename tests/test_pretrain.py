@@ -270,3 +270,48 @@ def test_reverie_og_pretraining_converges(world):
     assert {h["task"] for h in hist} <= {"mlm", "mrc", "sap", "cfp", "og"}
     val = tr.validate(items, num_batches=1)
     assert "og_acc" in val and 0.0 <= val["og_acc"] <= 1.0
+
+
+def test_pretrain_gradient_accumulation(world, items):
+    """gradient_accumulation_steps: k micro-steps apply once on the averaged
+    gradients (reference MetaLoader accum_steps, loader.py:22-55), and the
+    MetaLoader holds the task fixed within each accumulation window."""
+    import dataclasses
+
+    from vln_magic_tpu.pretrain.loader import MetaLoader
+    from vln_magic_tpu.utils.checkpoint import flatten_params
+
+    # identical micro-batches + no dropout -> accumulated == big-batch step
+    base = _cfg()
+    model = dataclasses.replace(base.model, hidden_dropout=0.0,
+                                attention_dropout=0.0)
+    mk = lambda accum: dataclasses.replace(
+        base, model=model,
+        train=dataclasses.replace(base.train, accum_steps=accum,
+                                  optim="sgd", lr=1e-3))
+    bk = dict(max_steps=5, max_gmap=16, max_txt=32)
+
+    acc = PretrainTrainer(mk(2), world, image_prob_size=50, builder_kwargs=bk)
+    batch = acc._fill("sap", acc.builder.sap_batch(items[:4]))
+    p0 = flatten_params(acc.params)
+    acc.train_step("sap", batch)
+    mid = flatten_params(acc.params)
+    for k in p0:
+        np.testing.assert_array_equal(p0[k], mid[k])
+    acc.train_step("sap", batch)
+    p_acc = flatten_params(acc.params)
+
+    big = PretrainTrainer(mk(1), world, image_prob_size=50, builder_kwargs=bk)
+    dbl = {k: np.concatenate([np.asarray(v)] * 2, axis=0)
+           for k, v in batch.items()}
+    big.train_step("sap", dbl)
+    p_big = flatten_params(big.params)
+    for k in p0:
+        np.testing.assert_allclose(p_acc[k], p_big[k], atol=2e-5, err_msg=k)
+
+    # MetaLoader task windows
+    ml = MetaLoader({"a": lambda: {}, "b": lambda: {}}, seed=0, accum_steps=3)
+    seq = [next(ml)[0] for _ in range(12)]
+    for i in range(0, 12, 3):
+        assert len(set(seq[i:i + 3])) == 1
+    assert len(set(seq)) == 2   # both tasks eventually drawn

@@ -151,3 +151,39 @@ def test_rangerlars_trains(world, items):
     tr = Trainer(cfg, world)
     h = tr.fit(items[:8], 3)
     assert all(np.isfinite(m["loss"]) for m in h)
+
+
+def test_gradient_accumulation_matches_big_batch(world, items):
+    """--accumulateGrad: k accumulated micro-batches must equal one k-times
+    batch step (reference folds gt+aug into one update, main_nav.py:336-353).
+    With identical micro-batches and zero dropout the averaged accumulated
+    gradient equals the big-batch gradient exactly."""
+    from vln_magic_tpu.utils.checkpoint import flatten_params
+
+    model = ModelConfig(
+        vocab_size=300, hidden_size=32, num_attention_heads=2,
+        num_l_layers=1, num_pano_layers=1, num_x_layers=1, image_feat_size=16,
+        max_position_embeddings=64, hidden_dropout=0.0, attention_dropout=0.0)
+    mk = lambda accum: MagicConfig(
+        model=model, env=EnvConfig(max_action_len=4, max_gmap_len=16),
+        train=TrainConfig(batch_size=4, lr=1e-3, train_alg="imitation",
+                          optim="sgd", accum_steps=accum, seed=3))
+    batch = items[:4]
+
+    acc = Trainer(mk(2), world)
+    p0 = flatten_params(acc.params)
+    acc.train_step(batch)
+    mid = flatten_params(acc.params)
+    for k in p0:   # first micro-batch only accumulates — params unchanged
+        np.testing.assert_array_equal(p0[k], mid[k])
+    acc.train_step(batch)
+    p_acc = flatten_params(acc.params)
+
+    big = Trainer(mk(1), world)
+    big.train_step(batch + batch)    # one 2x-batch step
+    p_big = flatten_params(big.params)
+    moved = 0
+    for k in p0:
+        np.testing.assert_allclose(p_acc[k], p_big[k], atol=2e-6, err_msg=k)
+        moved += int(not np.array_equal(p0[k], p_acc[k]))
+    assert moved > 10   # the step actually applied

@@ -173,6 +173,13 @@ class Trainer:
                 self.opt,
                 optax.masked(optax.set_to_zero(),
                              self._frozen_mask(self.params)))
+        # gradient accumulation (--accumulateGrad / accum_steps): optax
+        # MultiSteps accumulates k micro-batch gradients and applies the
+        # inner chain (incl. clipping) once on their average — the gt+aug
+        # pair-into-one-update behavior of main_nav.py:336-353
+        accum = max(int(cfg.train.accum_steps), 1)
+        if accum > 1:
+            self.opt = optax.MultiSteps(self.opt, every_k_schedule=accum)
         self.opt_state = self.opt.init(self.params)
         # value head — always constructed like the reference (agent.py:39);
         # trained only on the RL branch
@@ -181,12 +188,18 @@ class Trainer:
             jax.random.PRNGKey(cfg.train.seed + 7),
             jnp.zeros((1, cfg.model.hidden_size)))
         self.critic_opt = make_optimizer(cfg)
+        if accum > 1:
+            self.critic_opt = optax.MultiSteps(self.critic_opt,
+                                               every_k_schedule=accum)
         self.critic_opt_state = self.critic_opt.init(self.critic_params)
         self.t_params = self.t_opt = self.t_opt_state = None
         if self.kdl:
             self.t_params = self._init(self.teacher_model, cfg.teacher_model, k_t)
             if cfg.distill.train_teacher:
                 self.t_opt = make_optimizer(cfg, lr=cfg.distill.t_lr)
+                if accum > 1:
+                    self.t_opt = optax.MultiSteps(self.t_opt,
+                                                  every_k_schedule=accum)
                 self.t_opt_state = self.t_opt.init(self.t_params)
         self._step_fn = None
         self._ability_grad_fns = {}

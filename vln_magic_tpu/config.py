@@ -158,6 +158,12 @@ class TrainConfig:
     grad_clip: float = 40.0
     ml_weight: float = 0.2
     train_alg: str = "dagger"            # imitation | dagger
+    # gradient accumulation: apply the optimizer every accum_steps
+    # micro-batches on the AVERAGED gradients (reference --accumulateGrad
+    # pairs the gt + back-translated batches into one update,
+    # main_nav.py:336-353; pretrain gradient_accumulation_steps,
+    # pretrain_src/data/loader.py:22-55).  1 = off.
+    accum_steps: int = 1
     dagger_sample: str = "sample"
     feedback: str = "sample"
     use_lr_sch: bool = False
@@ -267,6 +273,7 @@ _FLAG_MAP = {
     "warmup_iters": ("train", "warmup_iters"),
     "weight_decay": ("train", "weight_decay"),
     "featdropout": ("train", "feat_dropout"),   # legacy alias (parser.py:115)
+    "gradient_accumulation_steps": ("train", "accum_steps"),  # pretrain JSON
     "fix_lang_embedding": ("train", "fix_lang_embedding"),
     "fix_local_branch": ("train", "fix_local_branch"),
     "fix_pano_embedding": ("train", "fix_pano_embedding"),
@@ -290,6 +297,12 @@ def from_reference_flags(flags: dict) -> MagicConfig:
             if name == "ability_types" and isinstance(value, list):
                 value = tuple(value)
             sections[sec][name] = value
+
+    # nav --accumulateGrad is boolean: gt + aug batches fold into one update
+    # (main_nav.py:336-353) -> k=2 unless an explicit step count was given
+    if flags.get("accumulate_grad") and \
+            int(sections["train"].get("accum_steps", 1)) <= 1:
+        sections["train"]["accum_steps"] = 2
 
     student_hidden = int(flags.get("student_hidden_size", 384))
     student_heads = int(flags.get("student_num_attention_heads", student_hidden // 64))

@@ -15,20 +15,29 @@ import numpy as np
 class MetaLoader:
     """Round-robin-free multinomial task sampler over named batch factories."""
 
-    def __init__(self, tasks: dict, ratios: dict | None = None, seed: int = 0):
-        """``tasks``: name -> callable(batch_size) -> batch dict."""
+    def __init__(self, tasks: dict, ratios: dict | None = None, seed: int = 0,
+                 accum_steps: int = 1):
+        """``tasks``: name -> callable(batch_size) -> batch dict.
+        ``accum_steps``: hold the sampled task for k consecutive batches so
+        gradient accumulation windows stay single-task (the reference's
+        ``self.step % self.accum_steps == 0`` redraw, loader.py:53-60)."""
         self.names = list(tasks)
         self.tasks = tasks
         r = np.array([float((ratios or {}).get(n, 1.0)) for n in self.names])
         self.p = r / r.sum()
         self.rng = np.random.default_rng(seed)
+        self.accum_steps = max(int(accum_steps), 1)
+        self._step = 0
+        self._task = None
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        name = self.rng.choice(self.names, p=self.p)
-        return name, self.tasks[name]()
+        if self._step % self.accum_steps == 0:
+            self._task = self.rng.choice(self.names, p=self.p)
+        self._step += 1
+        return self._task, self.tasks[self._task]()
 
     def sample_sequence(self, n):
         return [self.rng.choice(self.names, p=self.p) for _ in range(n)]

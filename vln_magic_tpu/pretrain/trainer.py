@@ -46,9 +46,18 @@ class PretrainTrainer:
             self.teacher = GlocalTextPathCMTPretrain(cfg.teacher_model,
                                                      image_prob_size)
             self.t_params = jax.jit(self.teacher.init)(k_t, dummy)
-        self.opt = optax.chain(
-            optax.clip_by_global_norm(cfg.train.grad_clip),
-            optax.adamw(cfg.train.lr, weight_decay=cfg.train.weight_decay))
+        # optimizer family + schedule by config, like the reference's
+        # build_optimizer (pretrain_src/optim/misc.py: adamw/radam/
+        # rangerlars selected by opts.optim, noam/warmup_linear schedules)
+        from ..agent.trainer import make_optimizer
+
+        self.opt = make_optimizer(cfg)
+        # gradient_accumulation_steps (reference pretrain opts; MetaLoader
+        # keeps the task fixed within each accumulation window)
+        self.accum_steps = max(int(cfg.train.accum_steps), 1)
+        if self.accum_steps > 1:
+            self.opt = optax.MultiSteps(self.opt,
+                                        every_k_schedule=self.accum_steps)
         self.opt_state = self.opt.init(self.params)
         self._steps = {}
         self.iteration = 0
@@ -243,7 +252,8 @@ class PretrainTrainer:
                     raise ValueError(f"unknown pretrain tasks: {unknown}")
                 builders = {n: builders[n] for n in ratios}
             self._loader = MetaLoader(builders, ratios=ratios,
-                                      seed=self.cfg.train.seed)
+                                      seed=self.cfg.train.seed,
+                                      accum_steps=self.accum_steps)
         self._sampler.items = items
         # host->device overlap: batch N+1 transfers while step N runs
         from .loader import PrefetchLoader
