@@ -199,3 +199,23 @@ def test_speaker_checkpoint_roundtrip_through_cli(tmp_path):
     record = open(os.path.join(str(tmp_path), "navigator", "spk2", "logs",
                                "train.txt")).read()
     assert f"loaded speaker checkpoint {ckpt}" in record
+
+
+def test_gmap_overflow_surfaces_warning(tmp_path):
+    """VERDICT round-2 item 7: a too-small --max_gmap_len must surface —
+    gmap_overflow counted in Navigator.evaluate and trainer metrics, and a
+    WARNING in the record file (silent truncation on RxR-length episodes
+    would otherwise go unnoticed)."""
+    from vln_magic_tpu.cli.main_nav import default_max_gmap_len
+
+    assert default_max_gmap_len("rxr") == 208
+    assert default_max_gmap_len("r2r") == 128
+
+    a = list(TINY)
+    a[1], a[3] = "ovf", str(tmp_path)
+    a[a.index("--max_gmap_len") + 1] = "6"   # far below the observable count
+    main(a + ["--mode", "train", "--iters", "2", "--log_every", "2",
+              "--train_alg", "imitation", "--eval_first"])
+    record = open(os.path.join(str(tmp_path), "navigator", "ovf", "logs",
+                               "train.txt")).read()
+    assert "WARNING" in record and "overflowed max_gmap_len=6" in record

@@ -112,6 +112,7 @@ class Navigator:
         valid() loop, main_nav.py:561-667, without the process boundary)."""
         bs = batch_size or self.cfg.train.batch_size
         preds = []
+        gmap_overflow = 0
         for i in range(0, len(items), bs):
             chunk = items[i : i + bs]
             n_real = len(chunk)
@@ -119,6 +120,7 @@ class Navigator:
                 chunk = chunk + [chunk[-1]] * (bs - n_real)
             state, aux = self.run_items(chunk, feedback, zdicts=zdicts,
                                         ensemble_n=ensemble_n)
+            gmap_overflow += int(aux["gmap_overflow"])
             if self.cfg.env.observed_graph_parity:
                 chunk_preds = build_trajectories_observed(
                     self.world, chunk, aux["actions"], aux["traj_nodes"],
@@ -140,4 +142,9 @@ class Navigator:
                             scores[b, : g.num_nodes] > -1e8)}
             preds.extend(chunk_preds)
         ev = Evaluator(self.world, items)
-        return ev.eval_metrics(preds), preds
+        avg, per_item = ev.eval_metrics(preds)
+        # episodes whose observed-node count exceeded max_gmap_len at any
+        # step (tokens silently truncated — raise --max_gmap_len); padded
+        # tail duplicates can overcount by a few, never undercount
+        avg["gmap_overflow"] = float(gmap_overflow)
+        return (avg, per_item), preds

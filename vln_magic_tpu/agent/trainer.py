@@ -267,7 +267,7 @@ class Trainer:
                    else True) if c.train.remat else False)
         bs = state0.batch_size
         ml = aux["ml_loss"] * train_ml / bs
-        metrics = {"ml_loss": ml}
+        metrics = {"ml_loss": ml, "gmap_overflow": aux["gmap_overflow"]}
         if self.kdl:
             kd = total_kd_loss(aux["kd_losses"]) / bs
             total = c.distill.alpha * kd + (1 - c.distill.alpha) * ml

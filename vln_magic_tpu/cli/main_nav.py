@@ -184,7 +184,9 @@ def parse_args(argv=None):
     p.add_argument("--obj_ft_dim", type=int, default=768)
     # env shape (framework addition: the reference pads gmaps to the batch
     # max; fixed shapes need the budget explicit and raisable per dataset)
-    p.add_argument("--max_gmap_len", type=int, default=128)
+    p.add_argument("--max_gmap_len", type=int, default=None,
+                   help="gmap token budget; default 128 (r2r) / 208 (rxr: "
+                        "28 actions can observe ~170 nodes)")
     p.add_argument("--aug_times", type=int, default=1)
     p.add_argument("--detailed_output", action="store_true", default=False)
     # preemption safety (SURVEY §5.3 rebuild item): resume from the latest
@@ -555,6 +557,12 @@ def train(args, cfg, world, splits, aug_features=None):
             write_to_record_file(
                 f"  {split}: sr={avg['sr']:.1f} spl={avg['spl']:.1f} "
                 f"nDTW={avg['nDTW']:.1f}", record)
+            if avg.get("gmap_overflow"):
+                write_to_record_file(
+                    f"  WARNING: {split}: {int(avg['gmap_overflow'])} "
+                    f"episodes overflowed max_gmap_len="
+                    f"{cfg.env.max_gmap_len} (gmap tokens truncated); "
+                    f"raise --max_gmap_len", record)
             score = _score(avg, args.dataset)
             if save_best and score > best[split]:
                 best[split] = score
@@ -597,6 +605,13 @@ def train(args, cfg, world, splits, aug_features=None):
             write_to_record_file(
                 f"iter {it}/{args.iters} loss={mean.get('loss', 0):.3f} "
                 f"({time.time() - t0:.0f}s)", record)
+            ovf = sum(v for k, v in mean.items()
+                      if k.endswith("gmap_overflow"))
+            if ovf > 0:
+                write_to_record_file(
+                    f"  WARNING: ~{ovf:.1f} episodes/step overflowed "
+                    f"max_gmap_len={cfg.env.max_gmap_len} (gmap tokens "
+                    f"truncated); raise --max_gmap_len", record)
 
             # periodic refreshes on their own cadences
             # (main_nav.py:439-455)
@@ -749,10 +764,19 @@ def extract_cfp(args, cfg, world, splits):
     return out
 
 
+def default_max_gmap_len(dataset: str) -> int:
+    """RxR trajectories are ~2x longer (28 actions, run_rxr_*.sh) and can
+    observe well past 128 nodes; silent truncation there would surface only
+    as gmap_overflow warnings."""
+    return 208 if dataset == "rxr" else 128
+
+
 def main(argv=None):
     args = parse_args(argv)
     from ..config import from_reference_flags
 
+    if args.max_gmap_len is None:
+        args.max_gmap_len = default_max_gmap_len(args.dataset)
     cfg = from_reference_flags(vars(args))
     if not os.path.isdir(args.connectivity_dir):
         # synthetic fallback needs matching dims
