@@ -256,3 +256,64 @@ def test_hf_roberta_language_encoder_parity():
     b_ = out_hf.numpy()[masks]
     diff = np.max(np.abs(a - b_))
     assert diff < 2e-5, f"HF RoBERTa parity: max abs diff {diff}"
+
+
+def test_kd_losses_match_reference_torch_semantics():
+    """agent/losses.{mse_loss,kd_loss} vs the reference's ACTUAL torch loss
+    code paths (map_nav_src/utils/kd_loss.py:6-52), evaluated with torch:
+    settles the 'mean' semantics question — torch KLDivLoss(reduction='mean')
+    is the legacy ELEMENT mean, exactly what the jnp port implements."""
+    import torch.nn as tnn
+
+    from vln_magic_tpu.agent.losses import kd_loss, mse_loss
+
+    rng = np.random.default_rng(11)
+    s = rng.standard_normal((6, 9)).astype(np.float32)
+    t = rng.standard_normal((6, 9)).astype(np.float32)
+    s[:, -2:] = -np.inf   # masked actions, as the rollout emits
+    t[:, -2:] = -np.inf
+    w = (rng.random(6) + 0.2).astype(np.float32)
+
+    def torch_kd(sx, tx, temperature, reduction, weights=None):
+        # verbatim reference computation (kd_loss.py:27-52)
+        sx = torch.where(torch.isinf(torch.as_tensor(sx)),
+                         torch.full_like(torch.as_tensor(sx), -1e6),
+                         torch.as_tensor(sx))
+        tx = torch.where(torch.isinf(torch.as_tensor(tx)),
+                         torch.full_like(torch.as_tensor(tx), -1e6),
+                         torch.as_tensor(tx))
+        p_t = torch.softmax(tx / temperature, dim=1)
+        log_p_s = torch.log_softmax(sx / temperature, dim=1)
+        if weights is None:
+            out = tnn.KLDivLoss(reduction=reduction)(log_p_s, p_t)
+        else:
+            per = torch.kl_div(log_p_s, p_t).sum(1)
+            per = per * torch.as_tensor(weights)
+            out = per.sum() if reduction == "sum" else per.mean()
+        return float(out) * temperature ** 2
+
+    for temp in (1.0, 2.0):
+        for red in ("sum", "mean"):
+            want = torch_kd(s, t, temp, red)
+            got = float(kd_loss(jnp.asarray(s), jnp.asarray(t),
+                                temperature=temp, loss_type=red))
+            assert abs(want - got) < 1e-4 * max(abs(want), 1), (temp, red)
+            want_w = torch_kd(s, t, temp, red, weights=w)
+            got_w = float(kd_loss(jnp.asarray(s), jnp.asarray(t),
+                                  temperature=temp, loss_type=red,
+                                  t_sample_weights=jnp.asarray(w)))
+            assert abs(want_w - got_w) < 1e-4 * max(abs(want_w), 1)
+
+    a = rng.standard_normal((5, 7, 3)).astype(np.float32)
+    b = rng.standard_normal((5, 7, 3)).astype(np.float32)
+    wa = (rng.random(5) + 0.2).astype(np.float32)
+    for red in ("sum", "mean"):
+        per = (torch.as_tensor(a) - torch.as_tensor(b)) ** 2
+        want = float(per.sum() if red == "sum" else per.mean())
+        got = float(mse_loss(jnp.asarray(a), jnp.asarray(b), loss_type=red))
+        assert abs(want - got) < 1e-4 * max(abs(want), 1)
+        perw = per * torch.as_tensor(wa).view(-1, 1, 1)
+        want = float(perw.sum() if red == "sum" else perw.mean())
+        got = float(mse_loss(jnp.asarray(a), jnp.asarray(b), loss_type=red,
+                             t_sample_weights=jnp.asarray(wa)))
+        assert abs(want - got) < 1e-4 * max(abs(want), 1)

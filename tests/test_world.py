@@ -53,3 +53,23 @@ def test_synthetic_instructions(tiny_world, rng):
         assert 3 <= len(p) - 1 + 1 <= 8
         for x, y in zip(p[:-1], p[1:]):
             assert g.adjacency[x, y]
+
+
+def test_bf16_feature_table():
+    """feat_dtype=bfloat16 halves the [S, N, 36, D] table; rollout casts to
+    f32 at the read (assemble_pano), so decodes are unaffected on small
+    worlds."""
+    import ml_dtypes
+
+    from vln_magic_tpu.env import make_synthetic_world
+
+    w32 = make_synthetic_world(num_scans=1, nodes_per_scan=10, feat_dim=8,
+                               seed=3)
+    wbf = make_synthetic_world(num_scans=1, nodes_per_scan=10, feat_dim=8,
+                               seed=3, feat_dtype=ml_dtypes.bfloat16)
+    assert wbf.tables.features.dtype == ml_dtypes.bfloat16
+    assert wbf.tables.features.nbytes * 2 == w32.tables.features.nbytes
+    # same underlying values up to bf16 rounding
+    np.testing.assert_allclose(
+        np.asarray(wbf.tables.features, np.float32), w32.tables.features,
+        atol=0.01, rtol=0.01)

@@ -187,6 +187,11 @@ def parse_args(argv=None):
     p.add_argument("--max_gmap_len", type=int, default=None,
                    help="gmap token budget; default 128 (r2r) / 208 (rxr: "
                         "28 actions can observe ~170 nodes)")
+    p.add_argument("--feat_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="view-feature table storage dtype; bfloat16 halves "
+                        "its HBM (~1.7 vs ~3.4 GB at 90 scans), compute "
+                        "stays f32")
     p.add_argument("--aug_times", type=int, default=1)
     p.add_argument("--detailed_output", action="store_true", default=False)
     # preemption safety (SURVEY §5.3 rebuild item): resume from the latest
@@ -227,6 +232,13 @@ def build_dataset(args, cfg):
     from ..env.graph import load_connectivity
 
     feat_dim = cfg.model.image_feat_size
+    # bf16 halves the [S, N, 36, D] feature-table HBM (~3.4 GB f32 at 90
+    # Matterport scans x 768-d CLIP); compute casts to f32 at the read
+    # (rollout.assemble_pano)
+    import ml_dtypes
+
+    feat_dtype = (ml_dtypes.bfloat16 if getattr(args, "feat_dtype", "float32")
+                  == "bfloat16" else np.float32)
     if os.path.isdir(args.connectivity_dir):
         from ..data import ImageFeatureStore, construct_instrs, get_tokenizer
         from ..data.annotations import attach_path_indices
@@ -257,7 +269,8 @@ def build_dataset(args, cfg):
         store = ImageFeatureStore(args.img_ft_file, feat_dim) \
             if os.path.exists(args.img_ft_file) else HashFeatureStore(feat_dim)
         graphs = [load_connectivity(args.connectivity_dir, s) for s in scans]
-        world = World(graphs, store.feature_fn(), feat_dim)
+        world = World(graphs, store.feature_fn(), feat_dim,
+                      feat_dtype=feat_dtype)
         splits = {k: attach_path_indices(v, world) for k, v in splits.items()}
         aug_features = None
         if args.env_edit or args.use_aug_env:
@@ -273,7 +286,7 @@ def build_dataset(args, cfg):
 
     world = make_synthetic_world(
         num_scans=args.synthetic_scans, nodes_per_scan=args.synthetic_nodes,
-        feat_dim=feat_dim, seed=args.seed)
+        feat_dim=feat_dim, seed=args.seed, feat_dtype=feat_dtype)
     rng = np.random.default_rng(args.seed)
     n = args.synthetic_items
     splits = {

@@ -56,6 +56,7 @@ def make_synthetic_world(
     seed: int = 0,
     radius: float = 2.5,
     max_candidates: int | None = None,
+    feat_dtype=np.float32,
 ) -> World:
     rng = np.random.default_rng(seed)
     graphs = []
@@ -68,7 +69,7 @@ def make_synthetic_world(
         node_ids = [f"vp{s}_{i:04d}" for i in range(n)]
         graphs.append(NavGraph(f"scan{s:04d}", node_ids, pos, adj, edge_dist))
     return World(graphs, _feature_fn(feat_dim, seed), feat_dim,
-                 max_candidates=max_candidates)
+                 max_candidates=max_candidates, feat_dtype=feat_dtype)
 
 
 def make_synthetic_instructions(
