@@ -125,6 +125,10 @@ def main():
                          "only (--train mode)")
     ap.add_argument("--parity", action="store_true", default=False,
                     help="observed-subgraph graph semantics (GraphMap parity)")
+    ap.add_argument("--scans", type=int, default=None,
+                    help="synthetic scan count (default 3; R2R trains on "
+                         "~61 Matterport scans, ~90 total — use 61 to "
+                         "check scan-count-dependent paths)")
     ap.add_argument("--profile", default=None,
                     help="capture a jax.profiler trace into this directory")
     args = ap.parse_args()
@@ -152,6 +156,8 @@ def main():
 
     cfg, scans, nodes, feat, batch, iters, t_steps, txt_len = \
         build_cfg(args, args.smoke)
+    if args.scans:
+        scans = args.scans
     world = make_synthetic_world(num_scans=scans, nodes_per_scan=nodes,
                                  feat_dim=feat, seed=0)
     rng = np.random.default_rng(0)
@@ -198,8 +204,8 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # compile + warmup
-    out = fn(nav.params, state0, jnp.asarray(txt_ids), jnp.asarray(txt_masks),
-             key, {})
+    out = fn(nav.params, nav.tables, state0, jnp.asarray(txt_ids),
+             jnp.asarray(txt_masks), key, {})
     jax.block_until_ready(out)
     semantic_per_iter = int(out[1]["semantic_steps"])
 
@@ -207,7 +213,7 @@ def main():
         jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(nav.params, state0, jnp.asarray(txt_ids),
+        out = fn(nav.params, nav.tables, state0, jnp.asarray(txt_ids),
                  jnp.asarray(txt_masks), key, {})
     jax.block_until_ready(out)
     wall = time.perf_counter() - t0

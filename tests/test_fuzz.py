@@ -38,7 +38,7 @@ def test_sampled_rollout_respects_env_rules(seed):
     txt_ids, txt_masks = pad_instructions(items, cfg.env.max_instr_len)
     state0 = episodes_from_items(nav.tables, world, items,
                                  nav.rollout.model_dims)
-    state, aux = fn(nav.params, state0, jnp.asarray(txt_ids),
+    state, aux = fn(nav.params, nav.tables, state0, jnp.asarray(txt_ids),
                     jnp.asarray(txt_masks), jax.random.PRNGKey(seed + 99), {})
     actions = np.asarray(aux["actions"])
     g = world.graphs[0]

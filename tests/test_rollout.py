@@ -91,7 +91,7 @@ def test_imitation_loss_positive(setup):
     txt_ids, txt_masks = N.pad_instructions(items[:4], cfg.env.max_instr_len)
     state = episodes_from_items(nav.tables, world, items[:4],
                                 nav.rollout.model_dims)
-    state, aux = fn(nav.params, state, jnp.asarray(txt_ids),
+    state, aux = fn(nav.params, nav.tables, state, jnp.asarray(txt_ids),
                     jnp.asarray(txt_masks), jax.random.PRNGKey(0), {})
     assert float(aux["ml_loss"]) > 0
 

@@ -86,10 +86,15 @@ class Navigator:
                 ensemble_n: int = 1):
         key = (feedback, train_ml, deterministic, ensemble_n)
         if key not in self._jit_cache:
-            def fn(params, state, txt_ids, txt_masks, rng, zdicts):
+            # world tables enter as a jit ARGUMENT (device buffers), never a
+            # closure constant — closed-over tables are baked into the XLA
+            # program and the compile blows up with scan count
+            # (rollout.run docstring)
+            def fn(params, tables, state, txt_ids, txt_masks, rng, zdicts):
                 return self.rollout.run(params, state, txt_ids, txt_masks,
                                         feedback, rng, train_ml, deterministic,
-                                        zdicts=zdicts, ensemble_n=ensemble_n)
+                                        zdicts=zdicts, ensemble_n=ensemble_n,
+                                        tables=tables)
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
@@ -100,7 +105,7 @@ class Navigator:
             self.tables, self.world, items, self.rollout.model_dims,
             observed_parity=self.cfg.env.observed_graph_parity)
         fn = self._run_fn(feedback, None, True, ensemble_n)
-        state, aux = fn(self.params, state, jnp.asarray(txt_ids),
+        state, aux = fn(self.params, self.tables, state, jnp.asarray(txt_ids),
                         jnp.asarray(txt_masks),
                         rng if rng is not None else jax.random.PRNGKey(0),
                         zdicts or {})

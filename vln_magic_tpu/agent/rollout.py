@@ -897,8 +897,14 @@ class Rollout:
             distill=None, ability_grads=None, use_teacher_policy=False,
             zdicts=None, ensemble_n: int = 1, train_rl: bool = False,
             critic=None, critic_params=None, gamma: float = 0.9,
-            remat: bool = False):
+            remat: bool = False, tables: "Tables | None" = None):
         """Full episode rollout under ``lax.scan``.
+
+        ``tables``: pass the world :class:`Tables` as a TRACED argument when
+        calling from inside jit.  Closed-over tables become XLA compile-time
+        constants — at Matterport scale (61 scans, 2.2 GB features) the
+        compile never finishes (measured >40 min, killed); as arguments they
+        are plain device buffers and compile time is scan-count independent.
 
         Single-model greedy/IL rollout, or — when ``teacher_params`` and the
         :class:`DistillConfig` ``distill`` are given — the fused dual-model
@@ -912,6 +918,18 @@ class Rollout:
         when not moving), summed IL losses, accumulated KD loss dicts, and the
         backtrack stop node.
         """
+        if tables is not None:
+            prev_t = self.t
+            self.t = tables
+            try:
+                return self.run(params, state, txt_ids, txt_masks, feedback,
+                                rng, train_ml, deterministic, teacher_params,
+                                distill, ability_grads, use_teacher_policy,
+                                zdicts, ensemble_n, train_rl, critic,
+                                critic_params, gamma, remat)
+            finally:
+                self.t = prev_t
+
         from . import distill as D
 
         model = self.model
@@ -1177,55 +1195,42 @@ class Rollout:
         cand_all = t.cand_ids[state.scan].astype(jnp.float32)    # [B, N, C]
         w_all = t.cand_dist[state.scan]
         cmask_all = t.cand_mask[state.scan].astype(jnp.float32)
-        # visited flag of every candidate, WITHOUT a take_along_axis: the
-        # [B, N*C] gather with per-lane-varying indices scalarized into the
-        # single hottest op of parity mode (profiled 11.7 ms/step, 46% of
-        # device time; trace source pointed exactly here).  The candidate
-        # index table is per-SCAN constant, so contract the visited bitmap
-        # against a loop-invariant per-scan one-hot instead — two MXU
-        # einsums (~1.1 GMAC at the honest shape).
-        s, _, c = t.cand_ids.shape
-        n1 = state.visited.shape[1]
-        b = state.batch_size
-        # static memory guard: the per-scan one-hot is [S, N, C, N+1] f32
-        # and the intermediate [B, S, N, C]; at Matterport scale (90 scans)
-        # they blow past HBM, so large worlds keep the gather.
-        if s * n * c * n1 * 4 <= 64 << 20 and b * s * n * c * 4 <= 64 << 20:
-            cand_hot = (jax.nn.one_hot(jnp.maximum(t.cand_ids, 0), n1,
-                                       dtype=jnp.float32)
-                        * t.cand_mask[..., None])    # [S, N, C, N+1] const
-            vis_s = jnp.einsum("bv,sncv->bsnc",
-                               state.visited.astype(jnp.float32), cand_hot,
-                               preferred_element_type=jnp.float32)
-            vis_all = jnp.einsum(
-                "bs,bsnc->bnc", jax.nn.one_hot(state.scan, s,
-                                               dtype=jnp.float32),
-                vis_s, preferred_element_type=jnp.float32)
-        else:
-            idx = jnp.maximum(t.cand_ids[state.scan], 0).reshape(b, n * c)
-            vis_all = jnp.take_along_axis(
-                state.visited.astype(jnp.float32), idx, axis=1
-            ).reshape(b, n, c)
-        return {"cand": cand_all, "w": w_all, "cmask": cmask_all,
-                "vis": vis_all, "n": n}
+        # candidate VISITED flags are NOT precomputed here: _observed_next
+        # derives them per iteration from the one-hot it already builds for
+        # the candidate-distance contraction.  Round 2 materialized a
+        # [B, N, C] table instead, either via a [S, N, C, N+1] per-scan
+        # one-hot (≈290 MB at Matterport's ~61 train scans — guarded off)
+        # or a scalarized take_along_axis gather measured at 46% of device
+        # time; riding the per-row one-hot is batch-bounded, so parity mode
+        # now scales to any scan count with zero extra memory.
+        return {"cand": cand_all, "w": w_all, "cmask": cmask_all, "n": n}
 
     @staticmethod
     def _observed_next(state, wt, p, dcol):
         """Greedy next node on the observed shortest path toward the target
         whose obs-distance column is ``dcol``; returns (next_node, valid)."""
-        onehot_p = jax.nn.one_hot(p, wt["n"], dtype=jnp.float32)
+        n = wt["n"]
+        onehot_p = jax.nn.one_hot(p, n, dtype=jnp.float32)
         row = lambda x: jnp.einsum("bn,bnc->bc", onehot_p, x,
                                    preferred_element_type=jnp.float32)
         cand_row = row(wt["cand"]).astype(jnp.int32)
         w_row = row(wt["w"])
-        on_obs = (row(wt["cmask"]) > 0.5) & (
-            (row(wt["vis"]) > 0.5)
-            | state.visited[jnp.arange(p.shape[0]), p][:, None])
-        # candidate distances via a one-hot contraction — take_along_axis
-        # with per-lane-varying indices scalarizes (same pathology as the
-        # visited-table gather, _observed_walk_tables)
-        dhot = jax.nn.one_hot(jnp.maximum(cand_row, 0), wt["n"],
+        # candidate distances AND visited flags via one one-hot contraction
+        # — take_along_axis with per-lane-varying indices scalarizes (the
+        # round-2 profile's 46%-of-device-time gather), and a precomputed
+        # visited table is scan-count bounded; this is batch-bounded.
+        dhot = jax.nn.one_hot(jnp.maximum(cand_row, 0), n,
                               dtype=jnp.float32)           # [B, C, N]
+        visited_f = state.visited[:, :n].astype(jnp.float32)
+        vis_cand = jnp.einsum("bcn,bn->bc", dhot, visited_f,
+                              preferred_element_type=jnp.float32)
+        p_vis = jnp.einsum("bn,bn->b", onehot_p, visited_f,
+                           preferred_element_type=jnp.float32)
+        # an observed edge needs a real candidate slot and at least one
+        # visited endpoint (the agent only ever sees edges at nodes it
+        # stood on; candidates of visited nodes are the frontier)
+        on_obs = (row(wt["cmask"]) > 0.5) & (
+            (vis_cand > 0.5) | (p_vis > 0.5)[:, None])
         d_cand = jnp.einsum("bcn,bn->bc", dhot, dcol,
                             preferred_element_type=jnp.float32)
         cost = jnp.where(on_obs, w_row + d_cand, jnp.float32(INF_DIST))

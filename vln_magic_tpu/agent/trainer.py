@@ -255,14 +255,14 @@ class Trainer:
 
     def _loss_for_rollout(self, params, t_params, state0, txt_ids, txt_masks,
                           feedback, train_ml, rng, ability_grads=None,
-                          zdicts=None):
+                          zdicts=None, tables=None):
         c = self.cfg
         d = c.distill if self.kdl else None
         _, aux = self.rollout.run(
             params, state0, txt_ids, txt_masks, feedback, rng,
             train_ml=train_ml, deterministic=False,
             teacher_params=t_params, distill=d, ability_grads=ability_grads,
-            zdicts=zdicts,
+            zdicts=zdicts, tables=tables,
             remat=(c.train.remat_policy if c.train.remat_policy != "full"
                    else True) if c.train.remat else False)
         bs = state0.batch_size
@@ -289,8 +289,8 @@ class Trainer:
         icod = self.kdl and c.distill.train_teacher
         rl = alg not in ("imitation", "dagger")   # the reference's A2C branch
 
-        def loss_fn(params, critic_params, t_params, state0, txt_ids,
-                    txt_masks, rng, ability_grads, zdicts):
+        def loss_fn(params, critic_params, t_params, tables, state0,
+                    txt_ids, txt_masks, rng, ability_grads, zdicts):
             k1, k2 = jax.random.split(rng)
             total = jnp.zeros(())
             t_total = jnp.zeros(())
@@ -298,7 +298,7 @@ class Trainer:
             if alg == "imitation":
                 l, tl, m = self._loss_for_rollout(
                     params, t_params, state0, txt_ids, txt_masks,
-                    "teacher", 1.0, k1, ability_grads, zdicts)
+                    "teacher", 1.0, k1, ability_grads, zdicts, tables)
                 total, t_total = total + l, t_total + tl
                 metrics.update({f"il/{k}": v for k, v in m.items()})
             elif alg == "dagger":
@@ -307,12 +307,13 @@ class Trainer:
                     l, tl, m = self._loss_for_rollout(
                         params, t_params, state0, txt_ids, txt_masks,
                         "teacher", c.train.ml_weight, k1, ability_grads,
-                        zdicts)
+                        zdicts, tables)
                     total, t_total = total + l, t_total + tl
                     metrics.update({f"il/{k}": v for k, v in m.items()})
                 l, tl, m = self._loss_for_rollout(
                     params, t_params, state0, txt_ids, txt_masks,
-                    c.train.dagger_sample, 1.0, k2, ability_grads, zdicts)
+                    c.train.dagger_sample, 1.0, k2, ability_grads, zdicts,
+                    tables)
                 total, t_total = total + l, t_total + tl
                 metrics.update({f"dagger/{k}": v for k, v in m.items()})
             else:
@@ -323,7 +324,7 @@ class Trainer:
                     l, tl, m = self._loss_for_rollout(
                         params, t_params, state0, txt_ids, txt_masks,
                         "teacher", c.train.ml_weight, k1, ability_grads,
-                        zdicts)
+                        zdicts, tables)
                     total, t_total = total + l, t_total + tl
                     metrics.update({f"il/{k}": v for k, v in m.items()})
                 _, aux = self.rollout.run(
@@ -331,7 +332,7 @@ class Trainer:
                     train_ml=None, deterministic=False,
                     train_rl=True, critic=self.critic,
                     critic_params=critic_params, gamma=c.train.gamma,
-                    zdicts=zdicts)
+                    zdicts=zdicts, tables=tables)
                 bs = state0.batch_size
                 rl = (aux["rl_loss"]
                       - c.train.entropy_loss_weight * aux["rl_entropy"]) / bs
@@ -341,13 +342,13 @@ class Trainer:
             return total + t_total, metrics
 
         def step(params, opt_state, critic_params, critic_opt_state,
-                 t_params, t_opt_state, state0, txt_ids, txt_masks, rng,
-                 ability_grads, zdicts):
+                 t_params, t_opt_state, tables, state0, txt_ids, txt_masks,
+                 rng, ability_grads, zdicts):
             if icod:
                 (loss, metrics), (grads, t_grads) = jax.value_and_grad(
                     loss_fn, argnums=(0, 2), has_aux=True)(
-                        params, critic_params, t_params, state0, txt_ids,
-                        txt_masks, rng, ability_grads, zdicts)
+                        params, critic_params, t_params, tables, state0,
+                        txt_ids, txt_masks, rng, ability_grads, zdicts)
                 updates, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 t_updates, t_opt_state = self.t_opt.update(
@@ -356,8 +357,8 @@ class Trainer:
             elif rl:
                 (loss, metrics), (grads, c_grads) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True)(
-                        params, critic_params, t_params, state0, txt_ids,
-                        txt_masks, rng, ability_grads, zdicts)
+                        params, critic_params, t_params, tables, state0,
+                        txt_ids, txt_masks, rng, ability_grads, zdicts)
                 updates, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 c_updates, critic_opt_state = self.critic_opt.update(
@@ -366,8 +367,8 @@ class Trainer:
             else:
                 (loss, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(
-                        params, critic_params, t_params, state0, txt_ids,
-                        txt_masks, rng, ability_grads, zdicts)
+                        params, critic_params, t_params, tables, state0,
+                        txt_ids, txt_masks, rng, ability_grads, zdicts)
                 updates, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
             metrics["grad_norm"] = optax.global_norm(grads)
@@ -392,8 +393,9 @@ class Trainer:
          metrics) = self._step_fn(
             self.params, self.opt_state, self.critic_params,
             self.critic_opt_state, self.t_params, self.t_opt_state,
-            state0, jnp.asarray(txt_ids), jnp.asarray(txt_masks), k,
-            jnp.asarray(self.ability_grads), zdicts)
+            self.tables, state0, jnp.asarray(txt_ids),
+            jnp.asarray(txt_masks), k, jnp.asarray(self.ability_grads),
+            zdicts)
         self.iteration += 1
         return {k: float(v) for k, v in metrics.items()}
 
@@ -519,16 +521,18 @@ class Trainer:
                                         adaptive_ability_weight=False,
                                         train_teacher=False)
 
-                def loss(params, t_params, s0, ids, masks, rng, d=d):
+                def loss(params, t_params, tables, s0, ids, masks, rng,
+                         d=d):
                     _, aux = self.rollout.run(
                         params, s0, ids, masks, "teacher", rng, train_ml=1.0,
-                        deterministic=True, teacher_params=t_params, distill=d)
+                        deterministic=True, teacher_params=t_params,
+                        distill=d, tables=tables)
                     return tkl(aux["kd_losses"]) / s0.batch_size
 
                 self._ability_grad_fns[a] = jax.jit(jax.grad(loss))
             g = self._ability_grad_fns[a](
-                self.params, self.t_params, state0, jnp.asarray(txt_ids),
-                jnp.asarray(txt_masks), k)
+                self.params, self.t_params, self.tables, state0,
+                jnp.asarray(txt_ids), jnp.asarray(txt_masks), k)
             norms.append(float(optax.global_norm(g)))
         new = np.asarray(norms, np.float32)
         self.ability_grads = (ema * self.ability_grads
