@@ -317,3 +317,32 @@ def test_kd_losses_match_reference_torch_semantics():
         got = float(mse_loss(jnp.asarray(a), jnp.asarray(b), loss_type=red,
                              t_sample_weights=jnp.asarray(wa)))
         assert abs(want - got) < 1e-4 * max(abs(want), 1)
+
+
+def test_variant_config_parity():
+    """The OTHER side of every architecture switch, pinned cross-framework:
+    fixed 0.5 fusion gate (fusion='avg'/glocal_fuse=False), mean pano
+    pooling (adaptive_pano_fusion=False), residual-add z-dict combination
+    (do_add_method='add'), no lang2visn attention, no sprel bias, no KD
+    heads."""
+    cfg = ModelConfig(
+        vocab_size=90, hidden_size=32, num_attention_heads=2,
+        num_l_layers=1, num_pano_layers=1, num_x_layers=2,
+        image_feat_size=12, max_position_embeddings=40,
+        glocal_fuse=False, adaptive_pano_fusion=False,
+        use_lang2visn_attn=False, graph_sprels=False,
+        do_back_txt=True, do_add_method="add",
+    )
+    torch.manual_seed(5)
+    tmodel = TorchDualScaleVLNBert(cfg).eval()
+    batch = random_step_batch(cfg, seed=7)
+    fmodel = DualScaleVLNBert(cfg)
+    template = fmodel.init(jax.random.PRNGKey(2), batch)
+    nested, missing, unexpected = unflatten_params(
+        torch_state_to_flax_flat(tmodel), template)
+    assert not missing and not unexpected
+    outs_f = fmodel.apply(nested, batch)
+    with torch.no_grad():
+        outs_t = tmodel.full_forward(to_torch(batch))
+    assert_outputs_close(outs_f, outs_t)
+    np.testing.assert_allclose(np.asarray(outs_f["fuse_weights"]), 0.5)

@@ -297,7 +297,10 @@ class TorchDualScaleVLNBert(nn.Module):
         self.vp_input_norm = nn.LayerNorm(d, eps=c.layer_norm_eps)
         self.global_sap_head = ClsPrediction(d, c.layer_norm_eps)
         self.local_sap_head = ClsPrediction(d, c.layer_norm_eps)
-        self.sap_fuse_linear = ClsPrediction(2 * d, c.layer_norm_eps)
+        if c.glocal_fuse:
+            # flax only materializes params of modules actually called;
+            # with the fixed 0.5 gate the fuse head never exists
+            self.sap_fuse_linear = ClsPrediction(2 * d, c.layer_norm_eps)
         self.cls_fuse = nn.Linear(2 * d, d)
         front_dim = c.kd_target_size if c.kd_heads else d
         if c.do_back_txt:
