@@ -550,8 +550,9 @@ def train(args, cfg, world, splits, aug_features=None):
             feat_dropout=args.featdropout or cfg.train.feat_dropout)
         if args.speaker:
             # pretrained speaker checkpoint (main_nav.py loads --speaker
-            # into the aug path; format transpeaker.py:322-344)
-            ep = speaker.load(args.speaker)
+            # into the aug path; format transpeaker.py:322-344; optimizer
+            # state only under --loadOptim, transpeaker.py:349-351)
+            ep = speaker.load(args.speaker, load_optim=args.load_optim)
             write_to_record_file(
                 f"loaded speaker checkpoint {args.speaker} (epoch {ep})",
                 record)
@@ -714,9 +715,15 @@ def valid(args, cfg, world, splits):
             # merged over the collective (reference sel_data_idxs +
             # all_gather, env.py:126-134, main_nav.py:606-607)
             my_items = shard_items(items)
-            (_, _), preds = navigator.evaluate(
+            (local_avg, _), preds = navigator.evaluate(
                 my_items, zdicts=zd, detailed_output=args.detailed_output,
                 ensemble_n=args.ensemble_n)
+            if local_avg.get("gmap_overflow"):
+                write_to_record_file(
+                    f"WARNING: {split}: {int(local_avg['gmap_overflow'])} "
+                    f"episodes overflowed max_gmap_len="
+                    f"{cfg.env.max_gmap_len} (gmap tokens truncated); "
+                    f"raise --max_gmap_len", record)
             preds = gather_predictions(preds)
             if args.submit and tag == "" and is_primary():
                 with open(os.path.join(args.pred_dir,
