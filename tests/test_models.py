@@ -106,6 +106,54 @@ def test_padding_invariance(model_and_params, small_cfg):
         np.asarray(wouts["fused_logits"][0][:g][valid]), rtol=2e-4, atol=2e-5)
 
 
+def _randomized(batch, seed=0):
+    """Fill the dummy batch's float arrays with random values (zeros would
+    make the fused-vs-unfused comparison vacuous)."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, dict):
+            out[k] = _randomized(v, seed + 1)
+        elif jnp.issubdtype(v.dtype, jnp.floating) and "pzs" not in k \
+                and k not in ("vp_cand_visited", "gmap_pair_dists"):
+            out[k] = jnp.asarray(
+                rng.standard_normal(v.shape).astype(np.float32))
+        elif k == "gmap_pair_dists":
+            out[k] = jnp.asarray(
+                rng.uniform(0, 10, v.shape).astype(np.float32))
+        else:
+            out[k] = v
+    return out
+
+
+@pytest.mark.parametrize("sprels,lang2visn", [(True, True), (False, False),
+                                              (True, False)])
+def test_branch_fusion_matches_unfused(sprels, lang2visn):
+    """`fuse_branches` is a pure perf knob: the vmapped branch-stacked trunk
+    must reproduce the two-encoder path exactly (same params, same inputs)."""
+    from dataclasses import replace
+
+    base = ModelConfig(
+        vocab_size=200, hidden_size=64, num_attention_heads=4, num_l_layers=1,
+        num_pano_layers=1, num_x_layers=2, image_feat_size=32,
+        max_position_embeddings=64, graph_sprels=sprels,
+        use_lang2visn_attn=lang2visn, fuse_branches=False)
+    fused_cfg = replace(base, fuse_branches=True)
+    m0, m1 = DualScaleVLNBert(base), DualScaleVLNBert(fused_cfg)
+    batch = _randomized(dummy_step_batch(base, gmap_len=7, pano_len=5))
+    params = m0.init(jax.random.PRNGKey(0), batch)
+    o0 = m0.apply(params, batch)
+    o1 = m1.apply(params, batch)
+    for key in ("gmap_embeds", "vp_embeds", "gmap_attns", "vp_attns",
+                "fused_logits", "cls_embeds", "fuse_weights"):
+        a, b = np.asarray(o0[key]), np.asarray(o1[key])
+        if key == "fused_logits":  # padded lanes carry NEG_INF sentinels
+            m = a > -1e8
+            a, b = a[m], b[m]
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"branch fusion diverged on {key}")
+
+
 def test_kd_heads_exist_and_project(model_and_params, small_cfg):
     model, params, batch = model_and_params
     outs = model.apply(params, batch)

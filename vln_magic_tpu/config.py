@@ -48,6 +48,14 @@ class ModelConfig:
 
     use_lang2visn_attn: bool = True
     graph_sprels: bool = True
+    # run the global+local cross-modal encoders as ONE vmapped computation
+    # over branch-stacked params (same math, half the dispatches; parameter
+    # trees and checkpoints identical either way).  MEASURED AND LOST on
+    # eval (18.9k vs 23.9k steps/s: padding the vp stream to gmap length
+    # makes every trunk relayout copy full-size — the step is copy-bound,
+    # not dispatch-bound) and neutral on train (1,294 vs 1,321 ms);
+    # docs/PERF.md decisions table.  Kept flag-gated for A/B.
+    fuse_branches: bool = False
     glocal_fuse: bool = True             # dynamic global/local fusion
     adaptive_pano_fusion: bool = True
     # which action scores drive the policy (parser.py:16):

@@ -156,6 +156,8 @@ class CrossModalLayer(nn.Module):
     @nn.compact
     def __call__(self, visn, lang, visn_mask, lang_mask, self_bias=None,
                  deterministic=True):
+        # ``self_bias``: additive [B, H, Lv, Lv] bias on the visual
+        # self-attention (graph_sprels, or zeros from the branch-fused path)
         lang_bias = mask_to_bias(lang_mask, self.dtype)
         visn_bias = mask_to_bias(visn_mask, self.dtype)
 

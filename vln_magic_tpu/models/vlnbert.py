@@ -190,15 +190,16 @@ class CrossModalEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, visn, lang, visn_mask, lang_mask, pair_dists=None,
-                 deterministic=True):
+                 deterministic=True, self_bias=None):
         c = self.cfg
-        self_bias = None
         if self.sprels and pair_dists is not None:
             # distance -> per-head additive bias, matching DUET's sprel linear
             rel = nn.Dense(c.num_attention_heads, dtype=self.dtype,
                            name="sprel_linear")(
                 1.0 / (1.0 + pair_dists[..., None]))
             self_bias = rel.transpose(0, 3, 1, 2)  # [B, H, L, L]
+        # else: a caller-precomputed self_bias (the branch-fused navigation
+        # path, which evaluates sprel_linear outside this module) passes through
         attns = []
         for i in range(c.num_x_layers):
             visn, lang, probs = CrossModalLayer(
@@ -335,16 +336,27 @@ class DualScaleVLNBert(nn.Module):
         if c.do_front_his and front_gmap_feats is not None:
             gmap_embeds = self.gmap_frontdoor(gmap_embeds, front_gmap_feats, None,
                                               deterministic)
-        gmap_embeds, gmap_attns = self.global_encoder(
-            gmap_embeds, txt_embeds, gmap_masks, txt_masks, gmap_pair_dists,
-            deterministic)
 
         vp_embeds = self.vp_input_norm(vp_img_embeds + self.vp_pos_proj(vp_pos_fts))
         if c.do_front_img and front_vp_feats is not None:
             vp_embeds = self.vp_frontdoor(vp_embeds, front_vp_feats, None,
                                           deterministic)
-        vp_embeds, vp_attns = self.local_encoder(
-            vp_embeds, txt_embeds, vp_masks, txt_masks, None, deterministic)
+
+        if c.fuse_branches and not self.is_initializing():
+            (gmap_embeds, vp_embeds, gmap_attns, vp_attns,
+             global_scores, local_scores) = \
+                self._branched_encoders(gmap_embeds, vp_embeds, txt_embeds,
+                                        gmap_masks, vp_masks, txt_masks,
+                                        gmap_pair_dists, deterministic)
+        else:
+            gmap_embeds, gmap_attns = self.global_encoder(
+                gmap_embeds, txt_embeds, gmap_masks, txt_masks,
+                gmap_pair_dists, deterministic)
+            vp_embeds, vp_attns = self.local_encoder(
+                vp_embeds, txt_embeds, vp_masks, txt_masks, None,
+                deterministic)
+            global_scores = self.global_sap_head(gmap_embeds)
+            local_scores = self.local_sap_head(vp_embeds)
 
         # --- dynamic fusion of global and local action scores ---
         if c.glocal_fuse:
@@ -353,8 +365,8 @@ class DualScaleVLNBert(nn.Module):
         else:
             fuse = jnp.full((gmap_embeds.shape[0], 1), 0.5, self.dtype)
 
-        global_logits = self.global_sap_head(gmap_embeds) * fuse
-        local_logits = self.local_sap_head(vp_embeds) * (1.0 - fuse)
+        global_logits = global_scores * fuse
+        local_logits = local_scores * (1.0 - fuse)
         global_logits = jnp.where(gmap_masks & ~gmap_visited_masks, global_logits,
                                   NEG_INF)
         local_logits = jnp.where(vp_nav_masks, local_logits, NEG_INF)
@@ -389,6 +401,84 @@ class DualScaleVLNBert(nn.Module):
             "fuse_weights": fuse[:, 0],
             "cls_embeds": cls_embeds,
         }
+
+    def _branched_encoders(self, gmap_x, vp_x, lang, gmap_mask, vp_mask,
+                           lang_mask, pair_dists, deterministic):
+        """Run the global and local cross-modal encoders as ONE vmapped
+        computation over branch-stacked parameters.
+
+        The per-step rollout is dispatch-latency bound (~1,300 device ops at
+        ~3 µs average, docs/PERF.md): the two encoders have identical layer
+        structure but separate weights, so stacking their param trees on a
+        leading branch axis and vmapping a single shell encoder halves the
+        trunk's op count — every matmul/softmax/LN dispatches once as a
+        [2, ...] batched op instead of twice.  Math per branch is exactly
+        ``CrossModalEncoder`` (it IS the vmapped function); the vp stream is
+        padded to the longer branch length and sliced back (masks make the
+        padding inert).  Params/checkpoints are untouched — stacking happens
+        at apply time from ``self.variables``.  The global branch's
+        graph-sprels bias is evaluated here (same Dense math as
+        ``sprel_linear``) because the shell runs with ``sprels=False``.
+        """
+        c = self.cfg
+        B, G, P = gmap_x.shape[0], gmap_x.shape[1], vp_x.shape[1]
+        L = max(G, P)
+
+        def pad(x, width):
+            cfgpad = [(0, 0)] * x.ndim
+            cfgpad[1] = (0, width - x.shape[1])
+            return jnp.pad(x, cfgpad)
+
+        visn = jnp.stack([pad(gmap_x, L), pad(vp_x, L)])
+        vmask = jnp.stack([pad(gmap_mask, L), pad(vp_mask, L)])
+
+        params = self.variables["params"]
+        gp, lp = params["global_encoder"], params["local_encoder"]
+        stacked = {
+            f"layer_{i}": jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]),
+                gp[f"layer_{i}"], lp[f"layer_{i}"])
+            for i in range(c.num_x_layers)
+        }
+
+        self_bias = jnp.zeros((2, B, c.num_attention_heads, L, L), self.dtype)
+        if c.graph_sprels and pair_dists is not None:
+            k = gp["sprel_linear"]["kernel"].astype(self.dtype)
+            b = gp["sprel_linear"]["bias"].astype(self.dtype)
+            x = (1.0 / (1.0 + pair_dists[..., None])).astype(self.dtype)
+            rel = (x @ k + b).transpose(0, 3, 1, 2)  # [B, H, G, G]
+            rel = jnp.pad(rel, ((0, 0), (0, 0), (0, L - G), (0, L - G)))
+            self_bias = self_bias.at[0].set(rel)
+
+        # parent=None: a detached functional shell — it consumes the stacked
+        # param trees explicitly and creates no params of its own
+        shell = CrossModalEncoder(c, sprels=False, dtype=self.dtype,
+                                  parent=None)
+        if deterministic:
+            def run(p, v, m, sb):
+                return shell.apply({"params": p}, v, lang, m, lang_mask,
+                                   self_bias=sb, deterministic=True)
+            out, attns = jax.vmap(run)(stacked, visn, vmask, self_bias)
+        else:
+            keys = jax.random.split(self.make_rng("dropout"), 2)
+            def run(p, v, m, sb, key):
+                return shell.apply({"params": p}, v, lang, m, lang_mask,
+                                   self_bias=sb, deterministic=False,
+                                   rngs={"dropout": key})
+            out, attns = jax.vmap(run)(stacked, visn, vmask, self_bias, keys)
+
+        # the SAP scoring heads ride the same branch axis (ClsPrediction is
+        # branch-duplicated too: global_sap_head / local_sap_head)
+        head_stack = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]),
+            params["global_sap_head"], params["local_sap_head"])
+        head = ClsPrediction(c.hidden_size, c.layer_norm_eps, self.dtype,
+                             parent=None)
+        scores = jax.vmap(lambda p, x: head.apply({"params": p}, x))(
+            head_stack, out)
+        return (out[0, :, :G], out[1, :, :P],
+                attns[0][:, :, :G, :], attns[1][:, :, :P, :],
+                scores[0, :, :G], scores[1, :, :P])
 
     # ----- mode: extract_cfp_features (agent.py:1516-1561) -----
 
