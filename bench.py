@@ -68,14 +68,14 @@ def build_cfg(args, smoke):
             image_feat_size=feat,
             use_pallas_attention=args.pallas and not smoke,
             kd_heads=args.train, kd_target_size=t_hidden,
-            fuse_branches=not args.no_fuse_branches,
+            fuse_branches=args.fuse_branches,
         ),
         teacher_model=ModelConfig(
             hidden_size=t_hidden, num_attention_heads=t_heads,
             num_l_layers=layers, num_pano_layers=pl, num_x_layers=xl,
             image_feat_size=feat, kd_heads=True, kd_target_size=hidden,
             use_pallas_attention=args.pallas_teacher and not smoke,
-            fuse_branches=not args.no_fuse_branches,
+            fuse_branches=args.fuse_branches,
         ) if args.train else None,
         env=EnvConfig(max_action_len=t_steps, max_gmap_len=max_gmap,
                       max_instr_len=txt_len,
@@ -125,9 +125,9 @@ def main():
     ap.add_argument("--pallas_teacher", action="store_true", default=False,
                     help="fused pallas attention for the 12-head teacher "
                          "only (--train mode)")
-    ap.add_argument("--no_fuse_branches", action="store_true", default=False,
-                    help="disable the vmapped branch-stacked cross-modal "
-                         "trunk (A/B baseline; fused is the default)")
+    ap.add_argument("--fuse_branches", action="store_true", default=False,
+                    help="vmapped branch-stacked cross-modal trunk (measured "
+                         "dead end, -21%% eval; kept for A/B)")
     ap.add_argument("--parity", action="store_true", default=False,
                     help="observed-subgraph graph semantics (GraphMap parity)")
     ap.add_argument("--scans", type=int, default=None,

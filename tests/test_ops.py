@@ -4,7 +4,9 @@ import numpy as np
 import pytest
 
 from vln_magic_tpu.ops.attention import (fused_attention,
-                                         fused_attention_reference)
+                                         fused_attention_reference,
+                                         packed_attention,
+                                         packed_attention_reference)
 
 
 @pytest.mark.parametrize("b,h,lq,lk,hd", [(2, 2, 16, 16, 32),
@@ -36,6 +38,41 @@ def test_fused_attention_bf16():
     bias = jnp.zeros((1, 1, 1, 1))
     out_p, probs_p = fused_attention(q, k, v, bias, interpret=True)
     out_ref, probs_ref = fused_attention_reference(q, k, v, bias)
+    assert out_p.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(out_ref, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("b,h,lq,lk,hd,sprel", [
+    (4, 2, 16, 24, 32, False),    # cross-attention shape (mask bias only)
+    (2, 2, 16, 16, 32, True),     # self-attention with graph-sprels bias
+    (3, 4, 8, 8, 16, False),      # odd batch -> block_b falls back to 1
+])
+def test_packed_attention_matches_reference(b, h, lq, lk, hd, sprel):
+    d = h * hd
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(k1, (b, lq, d))
+    k = jax.random.normal(k2, (b, lk, d))
+    v = jax.random.normal(k3, (b, lk, d))
+    mask_bias = jnp.zeros((b, lk)).at[:, -3:].set(-1e9)
+    sb = (jax.random.normal(k4, (b, h, lq, lk)) if sprel else None)
+    out_ref = packed_attention_reference(q, k, v, mask_bias, sb, h)
+    out_p = packed_attention(q, k, v, mask_bias, sb, num_heads=h,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_packed_attention_bf16():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(k1, (2, 16, 64), jnp.bfloat16)
+    k = jax.random.normal(k2, (2, 16, 64), jnp.bfloat16)
+    v = jax.random.normal(k3, (2, 16, 64), jnp.bfloat16)
+    mask_bias = jnp.zeros((2, 16))
+    out_p = packed_attention(q, k, v, mask_bias, None, num_heads=2,
+                             interpret=True)
+    out_ref = packed_attention_reference(q, k, v, mask_bias, None, 2)
     assert out_p.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out_p, np.float32),
                                np.asarray(out_ref, np.float32),

@@ -49,26 +49,42 @@ class MultiHeadAttention(nn.Module):
         k = dense("key")(kv_input)
         v = dense("value")(kv_input)
 
+        if (self.use_pallas and deterministic
+                and jax.default_backend() == "tpu"):
+            # packed Pallas path (eval/serving): Q/K/V go to the kernel
+            # exactly as the Dense layers produce them — heads are sliced in
+            # VMEM, so the [B, L, H, hd] head-split relayout copies (the
+            # profile's dominant copy bucket, docs/PERF.md lever #1) never
+            # hit HBM.  The head-averaged probs are NOT computed: they feed
+            # only the MAKD losses, and training (deterministic=False)
+            # always runs the einsum path below — here they are dead code
+            # that XLA DCEs along with the zeros returned in their place.
+            from ..ops.attention import packed_attention
+
+            b, lq = q.shape[0], q.shape[1]
+            lk = k.shape[1]
+            if bias is None:
+                mask_bias = jnp.zeros((b, lk), jnp.float32)
+                sprel = None
+            elif bias.shape[-2] == 1 and bias.shape[-3] == 1:
+                # padding-mask-style bias [B|1, 1, 1, Lk]
+                mask_bias = jnp.broadcast_to(
+                    bias[:, 0, 0, :], (b, lk)).astype(jnp.float32)
+                sprel = None
+            else:
+                mask_bias = jnp.zeros((b, lk), jnp.float32)
+                sprel = jnp.broadcast_to(
+                    bias, (b, h, lq, lk)).astype(jnp.float32)
+            ctx = packed_attention(q, k, v, mask_bias, sprel, num_heads=h)
+            out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
+            return out, jnp.zeros((b, lq, lk), jnp.float32)
+
         # heads stay in place ([B, L, H, hd]) and the einsums carry the head
         # axis — explicit (0,2,1,3) transposes materialized as per-step
         # layout copies inside the rollout scan (the profile's copy bucket)
         q = q.reshape(q.shape[:-1] + (h, hd))
         k = k.reshape(k.shape[:-1] + (h, hd))
         v = v.reshape(v.shape[:-1] + (h, hd))
-        if (self.use_pallas and deterministic
-                and jax.default_backend() == "tpu"):
-            # fused Pallas path (no attention-prob dropout; eval/inference);
-            # the kernel wants [B, H, L, hd]
-            from ..ops.attention import fused_attention
-
-            tq, tk, tv = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-            zero = jnp.zeros((1, 1, 1, 1), self.dtype)
-            ctx, probs_avg = fused_attention(tq, tk, tv,
-                                             zero if bias is None else bias)
-            ctx = ctx.transpose(0, 2, 1, 3).reshape(
-                ctx.shape[0], ctx.shape[1], d)
-            out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
-            return out, probs_avg
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
         if bias is not None:
             scores = scores + bias.astype(scores.dtype)

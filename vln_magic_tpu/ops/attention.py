@@ -51,6 +51,110 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, p_ref, *, num_heads, scale):
     p_ref[0] = acc / num_heads
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, mb_ref, sb_ref, o_ref, *,
+                   num_heads, hd, scale, has_sprel):
+    """Packed-head attention: Q/K/V arrive [NB, L, H*hd] exactly as the
+    QKV Dense layers produce them — heads are VMEM column slices, so the
+    [B, L, H, hd] head-split relayout (the profile's dominant copy bucket,
+    docs/PERF.md lever #1) never materializes in HBM.  No probability
+    output: this path serves deterministic eval/serving, where the
+    head-averaged probs are dead code (MAKD consumes them only in training,
+    which runs the einsum path)."""
+    nb = q_ref.shape[0]
+    for i in range(nb):
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            q = q_ref[i, :, sl].astype(jnp.float32)
+            kk = k_ref[i, :, sl].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, kk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = s + mb_ref[i][None, :]
+            if has_sprel:
+                s = s + sb_ref[i, h]
+            p = jax.nn.softmax(s, axis=-1)
+            o_ref[i, :, sl] = jnp.dot(
+                p.astype(v_ref.dtype), v_ref[i, :, sl],
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def packed_attention_reference(q, k, v, mask_bias, sprel_bias, num_heads):
+    """Plain-XLA oracle for ``packed_attention`` (validation + non-TPU)."""
+    b, lq, d = q.shape
+    hd = d // num_heads
+    qh = q.reshape(b, lq, num_heads, hd)
+    kh = k.reshape(b, k.shape[1], num_heads, hd)
+    vh = v.reshape(b, v.shape[1], num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / jnp.sqrt(hd).astype(q.dtype)
+    s = s.astype(jnp.float32) + mask_bias[:, None, None, :]
+    if sprel_bias is not None:
+        s = s + sprel_bias
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), vh)
+    return out.reshape(b, lq, d)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "block_b", "interpret"))
+def packed_attention(q, k, v, mask_bias, sprel_bias=None, *, num_heads,
+                     block_b=None, interpret=False):
+    """Fused attention on packed heads.
+
+    q: [B, Lq, H*hd]; k, v: [B, Lk, H*hd] — the raw Dense outputs, no head
+    split.  mask_bias: [B, Lk] additive f32 (0 / -1e9 padding mask).
+    sprel_bias: optional [B, H, Lq, Lk] additive f32 (graph_sprels).
+    Returns out [B, Lq, H*hd] (packed, ready for the output Dense).
+
+    Grid tiles the batch; each program holds NB full (Lq, Lk) working sets
+    in VMEM and statically unrolls batch x heads (NB*H small MXU dots) —
+    at the rollout's shapes (L <= 250, hd 64) everything fits comfortably.
+    """
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    if block_b is None:
+        # bigger batch tiles amortize the per-program fixed cost (measured
+        # 20.2 / 15.6 / 11.9 us per call at nb=8/16/32, B=256 Lq=130
+        # Lk=200).  Mosaic requires the [nb, Lk] mask block's nb % 8 == 0
+        # on real hardware, so indivisible batches take the XLA oracle
+        # (interpret mode has no such constraint — any divisor works).
+        if b % 8 == 0:
+            block_b = next(nb for nb in (32, 16, 8) if b % nb == 0)
+        elif interpret:
+            block_b = next(nb for nb in (4, 2, 1) if b % nb == 0)
+        else:
+            return packed_attention_reference(q, k, v, mask_bias,
+                                              sprel_bias, num_heads)
+    mask_bias = mask_bias.astype(jnp.float32)
+    has_sprel = sprel_bias is not None
+    if not has_sprel:
+        # zero-size dummy operand keeps one kernel signature
+        sprel_bias = jnp.zeros((b, num_heads, 1, 1), jnp.float32)
+    sprel_bias = sprel_bias.astype(jnp.float32)
+
+    nb = block_b
+    blk = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, num_heads=num_heads, hd=hd,
+                          scale=scale, has_sprel=has_sprel),
+        grid=(b // nb,),
+        in_specs=[blk(nb, lq, d), blk(nb, lk, d), blk(nb, lk, d),
+                  blk(nb, lk),
+                  blk(nb, num_heads, *sprel_bias.shape[2:])],
+        out_specs=blk(nb, lq, d),
+        out_shape=jax.ShapeDtypeStruct((b, lq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * num_heads * lq * lk * (2 * hd),
+            bytes_accessed=2 * b * (lq * d + 2 * lk * d + lq * d),
+            transcendentals=b * num_heads * lq * lk),
+        interpret=interpret,
+    )(q, k, v, mask_bias, sprel_bias)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_attention(q, k, v, bias, interpret=False):
     """q, k, v: [B, H, L, hd]; bias: broadcastable to [B, H, Lq, Lk]
