@@ -14,7 +14,10 @@ import numpy as np
 
 from ..env.geometry import ALL_VIEW_ANGLES, MAX_DIST, MAX_STEP
 
-ALL_VIEW_ANGLES_J = jnp.asarray(ALL_VIEW_ANGLES)  # (36, 2)
+# numpy, not jnp: a module-level jnp array is a device-array closure constant
+# in every program that uses it, and lowering syncs on fetching its value
+# (see rollout.py BIG/UNOBS note); a numpy constant embeds without a sync.
+ALL_VIEW_ANGLES_J = np.asarray(ALL_VIEW_ANGLES, dtype=np.float32)  # (36, 2)
 
 
 def angle_feature(heading, elevation, angle_feat_size: int = 4):

@@ -6,6 +6,8 @@ greedy evaluation; training lives in agent/trainer.py.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,9 +53,23 @@ def episodes_from_items(tables: Tables, world: World, items, model_dims,
         p = np.asarray(it["path_idx"])
         gt_path[i, : len(p)] = p
         gt_len[i] = len(p)
+    return _init_episodes_jit(tables, scan, start, heading, gt_path, gt_len,
+                              np.full((b,), bool(aug)),
+                              tuple(sorted(model_dims.items())),
+                              bool(observed_parity))
+
+
+@partial(jax.jit, static_argnames=("model_dims_t", "observed_parity"))
+def _init_episodes_jit(tables, scan, start, heading, gt_path, gt_len, aug,
+                       model_dims_t, observed_parity):
+    # eager init_episodes dispatches ~60 ops through the axon tunnel — at
+    # parity shapes ([B, N, N] obs-APSP state) that measured 53 s host time
+    # at 61 scans (each dispatch pays tunnel latency and queues behind the
+    # async feature-table transfer); one jitted call makes it device-side
+    # and per-chunk cheap (warm: 0.05 s)
     return init_episodes(tables, scan, start, heading, gt_path, gt_len,
-                         model_dims, observed_parity=observed_parity,
-                         aug=np.full((b,), bool(aug)) if aug else None)
+                         dict(model_dims_t), aug=aug,
+                         observed_parity=observed_parity)
 
 
 class Navigator:
@@ -62,7 +78,9 @@ class Navigator:
     def __init__(self, cfg: MagicConfig, world: World, params=None, rng=None):
         self.cfg = cfg
         self.world = world
-        self.tables = Tables.from_world(world.tables)
+        self.tables = Tables.from_world(
+            world.tables,
+            device_features=getattr(world, "device_features", None))
         self.model = DualScaleVLNBert(
             cfg.model, dtype=jnp.dtype(cfg.train.compute_dtype))
         self.rollout = Rollout(self.tables, cfg.env, self.model)

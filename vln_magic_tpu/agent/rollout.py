@@ -27,14 +27,20 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..config import EnvConfig, ModelConfig
 from ..env.world import WorldTables
 from . import geometry_jax as gj
 
-BIG = jnp.int32(1_000_000)     # obs-order offset separating frontier from visited
-UNOBS = jnp.int32(2_000_000)   # obs-order value for unobserved nodes
+# numpy scalars, NOT jnp: a module-level jnp constant is a device array; every
+# jitted program that closes over one embeds it as a constant, and MLIR
+# lowering fetches its value with a device sync — which blocks behind any
+# in-flight async transfer (the 2.2 GB 61-scan feature table takes ~3 min
+# through the axon tunnel, measured as a 176 s "lower()" stall).
+BIG = np.int32(1_000_000)     # obs-order offset separating frontier from visited
+UNOBS = np.int32(2_000_000)   # obs-order value for unobserved nodes
 NEG_INF = -1e9
 
 
@@ -59,13 +65,22 @@ class Tables:
     aug_features: jnp.ndarray | None = None
 
     @classmethod
-    def from_world(cls, t: WorldTables, aug_features=None) -> "Tables":
-        return cls(**{f: jnp.asarray(getattr(t, f)) for f in (
-            "node_mask", "positions", "dist", "steps", "next_hop", "cand_ids",
-            "cand_dist", "cand_view", "cand_heading", "cand_elevation",
-            "cand_mask", "features")},
-            aug_features=None if aug_features is None
-            else jnp.asarray(aug_features))
+    def from_world(cls, t: WorldTables, aug_features=None,
+                   device_features=None) -> "Tables":
+        """``device_features``: an already-in-flight device copy of
+        ``t.features`` (World.__init__ starts the transfer early so the
+        2 GB-scale table streams while the host finishes APSP/candidate
+        work); passing it here avoids a second transfer."""
+        fields = ("node_mask", "positions", "dist", "steps", "next_hop",
+                  "cand_ids", "cand_dist", "cand_view", "cand_heading",
+                  "cand_elevation", "cand_mask", "features")
+        arrays = {f: jnp.asarray(getattr(t, f)) for f in fields
+                  if f != "features"}
+        arrays["features"] = (device_features if device_features is not None
+                              else jnp.asarray(t.features))
+        return cls(**arrays,
+                   aug_features=None if aug_features is None
+                   else jnp.asarray(aug_features))
 
 
 @struct.dataclass
@@ -109,6 +124,20 @@ WALK_HOPS = 32  # next-hop walk bound (>= any scan diameter)
 INF_DIST = 1e9
 
 
+def _iota_like(anchor, n: int) -> jnp.ndarray:
+    """[n] i32 0..n-1 derived from ``anchor`` so it stays TRACED under jit.
+
+    ``jnp.arange``/``jnp.eye``/``jnp.zeros`` with concrete shapes execute
+    EAGERLY during tracing: each is a device dispatch, and through the axon
+    TPU tunnel every dispatch both pays tunnel latency and QUEUES BEHIND any
+    in-flight async transfer (the 61-scan feature table streams for ~3 min).
+    ~60 such creation ops made "tracing" init_episodes at parity shapes
+    appear to take 152 s.  Anchoring creation ops on a traced input keeps
+    them inside the program: tracing is pure Python (0.1 s) and nothing
+    syncs before the single compiled call executes."""
+    return jnp.cumsum(jnp.ones_like(anchor, jnp.int32, shape=(n,))) - 1
+
+
 def relax_observed(state: EpisodeBatch, tables: Tables, v, live):
     """Incremental observed-subgraph all-pairs update (GraphMap parity).
 
@@ -121,7 +150,6 @@ def relax_observed(state: EpisodeBatch, tables: Tables, v, live):
     t = tables
     b = state.batch_size
     n = t.node_mask.shape[1]
-    bi = jnp.arange(b)
     D, S = state.obs_dist, state.obs_steps
 
     cand = t.cand_ids[state.scan, v]                        # [B, C]
@@ -178,42 +206,57 @@ def init_episodes(tables: Tables, scan_idx, start, heading, gt_path, gt_len,
     gt_len = jnp.asarray(gt_len, jnp.int32)
     goal = jnp.take_along_axis(gt_path, (gt_len - 1)[:, None], axis=1)[:, 0]
 
+    # All creation ops are *_like-anchored on the traced inputs (see
+    # _iota_like): plain jnp.zeros/full/eye here run EAGERLY during tracing,
+    # and each eager dispatch queues behind in-flight transfers through the
+    # axon tunnel (measured 152 s of apparent trace time at parity
+    # [256, 320, 320] shapes while the feature table streamed).
+    ai, af = scan_idx, jnp.asarray(heading, jnp.float32)   # i32 / f32 anchors
+    bi = _iota_like(ai, b)
+    if observed_parity:
+        n = n1 - 1
+        r = _iota_like(ai, n)
+        offdiag = r[:, None] != r[None, :]
+        apsp0 = jnp.broadcast_to(
+            jnp.where(offdiag, jnp.float32(INF_DIST), jnp.float32(0.0)),
+            (b, n, n))
+    else:
+        apsp0 = jnp.zeros_like(af, shape=(b, 1, 1))
+
     state = EpisodeBatch(
         scan=scan_idx, cur=start,
-        heading=jnp.asarray(heading, jnp.float32),
-        elevation=jnp.zeros((b,), jnp.float32),
+        heading=af,
+        elevation=jnp.zeros_like(af, shape=(b,)),
         start=start, goal=goal, gt_path=gt_path, gt_len=gt_len,
-        visited=jnp.zeros((b, n1), bool),
-        obs_order=jnp.full((b, n1), UNOBS, jnp.int32),
-        obs_count=jnp.zeros((b,), jnp.int32),
+        visited=jnp.zeros_like(ai, dtype=bool, shape=(b, n1)),
+        obs_order=jnp.full_like(ai, UNOBS, shape=(b, n1)),
+        obs_count=jnp.zeros_like(ai, shape=(b,)),
         # the start node carries step id 1 from the outset (the rollout
         # re-stamps cur=t_step+1 at the top of every step; stamping here too
         # keeps states assembled outside the scan consistent)
-        step_ids=jnp.zeros((b, n1), jnp.int32).at[jnp.arange(b), start].set(1),
-        stop_scores=jnp.full((b, n1), NEG_INF, jnp.float32),
-        embed_sum={r: jnp.zeros((b, n1, d), jnp.float32)
+        step_ids=jnp.zeros_like(ai, shape=(b, n1)).at[bi, start].set(1),
+        stop_scores=jnp.full_like(af, NEG_INF, shape=(b, n1)),
+        embed_sum={r: jnp.zeros_like(af, shape=(b, n1, d))
                    for r, d in model_dims.items()},
-        embed_cnt={r: jnp.zeros((b, n1), jnp.float32)
+        embed_cnt={r: jnp.zeros_like(af, shape=(b, n1))
                    for r in model_dims},
-        mem={r: jnp.zeros((b, d), jnp.float32) for r, d in model_dims.items()},
-        aug=jnp.zeros((b,), bool) if aug is None else jnp.asarray(aug, bool),
-        traj_nodes=jnp.full((b, MAX_TRAJ + 1), -1, jnp.int32)
+        mem={r: jnp.zeros_like(af, shape=(b, d))
+             for r, d in model_dims.items()},
+        aug=(jnp.zeros_like(ai, dtype=bool, shape=(b,)) if aug is None
+             else jnp.asarray(aug, bool)),
+        traj_nodes=jnp.full_like(ai, -1, shape=(b, MAX_TRAJ + 1))
             .at[:, 0].set(start),
-        traj_len=jnp.ones((b,), jnp.int32),
-        obs_dist=(jnp.full((b, n1 - 1, n1 - 1), INF_DIST, jnp.float32)
-                  * (1 - jnp.eye(n1 - 1))) if observed_parity
-                 else jnp.zeros((b, 1, 1), jnp.float32),
-        obs_steps=(jnp.full((b, n1 - 1, n1 - 1), INF_DIST, jnp.float32)
-                   * (1 - jnp.eye(n1 - 1))) if observed_parity
-                  else jnp.zeros((b, 1, 1), jnp.float32),
-        ended=jnp.zeros((b,), bool),
+        traj_len=jnp.ones_like(ai, shape=(b,)),
+        obs_dist=apsp0,
+        obs_steps=apsp0,
+        ended=jnp.zeros_like(ai, dtype=bool, shape=(b,)),
     )
     # the start node is immediately "visited" (GraphMap.update_graph marks the
     # current viewpoint visited on arrival)
-    state = state.replace(visited=state.visited.at[jnp.arange(b), start].set(True))
+    state = state.replace(visited=state.visited.at[bi, start].set(True))
     if observed_parity:
         state = relax_observed(state, tables, start,
-                               jnp.ones((b,), bool))
+                               jnp.ones_like(ai, dtype=bool, shape=(b,)))
     return _observe(state, tables)
 
 
@@ -222,7 +265,7 @@ def _observe(state: EpisodeBatch, tables: Tables) -> EpisodeBatch:
     first-observation order (the reference's dict-insertion order,
     agent.py:185-205 via GraphMap.update_graph)."""
     b = state.batch_size
-    bi = jnp.arange(b)
+    bi = _iota_like(state.cur, b)
     trash = tables.node_mask.shape[1]
 
     def add(obs_order, obs_count, idx, valid):

@@ -147,8 +147,9 @@ class Trainer:
         self.world = world
         # aug_features: EnvEdit-style alternate feature table, same layout
         # as world.tables.features; aug-marked episodes read it
-        self.tables = Tables.from_world(world.tables,
-                                        aug_features=aug_features)
+        self.tables = Tables.from_world(
+            world.tables, aug_features=aug_features,
+            device_features=getattr(world, "device_features", None))
         if rng is None:
             rng = jax.random.PRNGKey(cfg.train.seed)
         k_s, k_t, self.rng = jax.random.split(rng, 3)

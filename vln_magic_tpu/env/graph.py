@@ -28,15 +28,32 @@ class NavGraph:
     positions: np.ndarray               # (n, 3) float32
     adjacency: np.ndarray               # (n, n) bool
     edge_dist: np.ndarray               # (n, n) float32, INF if no edge
-    # derived
-    dist: np.ndarray = field(init=False)       # (n, n) shortest path length
-    steps: np.ndarray = field(init=False)      # (n, n) int32 shortest hop count
-    next_hop: np.ndarray = field(init=False)   # (n, n) int32 next node on path
-    index: dict = field(init=False)            # viewpoint id -> index
+    index: dict = field(init=False)     # viewpoint id -> index
+    # APSP tables (dist/steps/next_hop) are LAZY: World.__init__ starts the
+    # async feature-table device transfer first, then triggers the per-scan
+    # Floyd-Warshall while the bytes stream (at 61 Matterport-scale scans the
+    # FW sweep is ~25 s of host time that fully overlaps the transfer)
+    _apsp: tuple | None = field(init=False, default=None, repr=False)
 
     def __post_init__(self):
         self.index = {vp: i for i, vp in enumerate(self.node_ids)}
-        self.dist, self.steps, self.next_hop = _floyd_warshall(self.edge_dist)
+
+    def _apsp_tables(self):
+        if self._apsp is None:
+            self._apsp = _floyd_warshall(self.edge_dist)
+        return self._apsp
+
+    @property
+    def dist(self) -> np.ndarray:      # (n, n) shortest path length
+        return self._apsp_tables()[0]
+
+    @property
+    def steps(self) -> np.ndarray:     # (n, n) int32 shortest hop count
+        return self._apsp_tables()[1]
+
+    @property
+    def next_hop(self) -> np.ndarray:  # (n, n) int32 next node on path
+        return self._apsp_tables()[2]
 
     @property
     def num_nodes(self) -> int:
