@@ -58,7 +58,13 @@ def build_cfg(args, smoke):
         batch = args.batch or (16 if args.train else
                                8 if args.latency else 256)
         iters = args.iters or 8
-        max_gmap, t_steps, txt_len = 128, 15, 200
+        if args.rxr:
+            # honest RxR shape: 250-token instructions, 28 actions, the
+            # per-dataset gmap budget (208 — cli default for rxr; reference
+            # run_rxr_kdl_valid.sh --max_instr_len 250 / max 28 actions)
+            max_gmap, t_steps, txt_len = 208, 28, 250
+        else:
+            max_gmap, t_steps, txt_len = 128, 15, 200
         t_hidden, t_heads = 768, 12   # MAGIC teacher
 
     cfg = MagicConfig(
@@ -130,6 +136,10 @@ def main():
                          "dead end, -21%% eval; kept for A/B)")
     ap.add_argument("--parity", action="store_true", default=False,
                     help="observed-subgraph graph semantics (GraphMap parity)")
+    ap.add_argument("--rxr", action="store_true", default=False,
+                    help="honest RxR shape instead of R2R: 250-token "
+                         "instructions, 28 actions, gmap budget 208, "
+                         "8-15 hop episodes")
     ap.add_argument("--scans", type=int, default=None,
                     help="synthetic scan count (default 3; R2R trains on "
                          "~61 Matterport scans, ~90 total — use 61 to "
@@ -166,10 +176,12 @@ def main():
     world = make_synthetic_world(num_scans=scans, nodes_per_scan=nodes,
                                  feat_dim=feat, seed=0)
     rng = np.random.default_rng(0)
-    # R2R-like episode lengths: 4-7 hop ground-truth paths
+    # episode lengths: R2R gt paths are 4-7 hops; RxR paths are much longer
+    # (avg ~8, up to ~15 within the 28-action budget)
     items = make_synthetic_instructions(
-        world, batch, rng, min_path=3 if args.smoke else 4,
-        max_path=4 if args.smoke else 7)
+        world, batch, rng,
+        min_path=3 if args.smoke else 8 if args.rxr else 4,
+        max_path=4 if args.smoke else 15 if args.rxr else 7)
     # fixed full-length instructions (the reference trains/evals at
     # max_instr_len 200; R2R instructions are padded to the batch max there)
     for it in items:

@@ -64,6 +64,29 @@ def test_packed_attention_matches_reference(b, h, lq, lk, hd, sprel):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("b,h,lq,lk,sprel", [
+    (4, 2, 16, 24, False),   # MAGIC-S shape family: one group of 2 heads
+    (2, 2, 16, 16, True),    # grouped + graph-sprels bias
+    (2, 4, 8, 24, True),     # multiple head groups (teacher-like)
+])
+def test_packed_attention_grouped_matches_reference(b, h, lq, lk, sprel):
+    """hd=64 routes to the grouped block-diagonal kernel
+    (_packed_kernel_grouped); math must match the XLA oracle exactly."""
+    hd = 64
+    d = h * hd
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(k1, (b, lq, d))
+    k = jax.random.normal(k2, (b, lk, d))
+    v = jax.random.normal(k3, (b, lk, d))
+    mask_bias = jnp.zeros((b, lk)).at[:, -3:].set(-1e9)
+    sb = (jax.random.normal(k4, (b, h, lq, lk)) if sprel else None)
+    out_ref = packed_attention_reference(q, k, v, mask_bias, sb, h)
+    out_p = packed_attention(q, k, v, mask_bias, sb, num_heads=h,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_packed_attention_bf16():
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
     q = jax.random.normal(k1, (2, 16, 64), jnp.bfloat16)

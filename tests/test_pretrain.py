@@ -248,6 +248,39 @@ def test_reverie_object_ingestion(world):
     assert labeled >= 1   # most items ground a real object
 
 
+def test_soon_mode(world):
+    """SOON-variant semantics (reference SoonTextPathData, pretrain_src/
+    data/dataset.py:775-816): 'pos' endpoints are the annotated gt path end
+    even when pos_vps exist, labels come from obj_pseudo_label (clamped to
+    -100 past the object budget), boxes normalize by 600x600."""
+    from vln_magic_tpu.data import HashObjectStore
+    from vln_magic_tpu.env.synthetic import make_synthetic_reverie_items
+
+    store = HashObjectStore(obj_feat_size=16, max_objects=6, seed=5)
+    items = make_synthetic_reverie_items(
+        world, 10, np.random.default_rng(8), store, vocab_size=300,
+        min_path=2, max_path=4)
+    for j, it in enumerate(items):
+        it["obj_pseudo_label"] = {"idx": j}   # 0..9; >=6 must become -100
+
+    b = PathDataBuilder(world, max_steps=6, max_gmap=24, max_txt=32,
+                        vocab_size=300, seed=2, obj_db=store).soon_mode()
+    assert b.obj_image_wh == (600.0, 600.0)
+    # pos endpoint = gt path end, not a pos_vps sample
+    for it in items[:4]:
+        path, end_step, _ = b.sample_endpoint(it, "pos")
+        gt = [int(v) for v in np.asarray(it["path_idx"])]
+        assert path == gt and end_step == len(gt) - 1
+    # REVERIE negatives still work under soon_mode
+    path, end_step, pos_set = b.sample_endpoint(items[0], "neg_others")
+    assert path[end_step] not in pos_set
+
+    batch = b.og_batch(items[:10])
+    for i in range(10):
+        expect = i if i < 6 else -100
+        assert int(batch["og_labels"][i]) == expect
+
+
 def test_reverie_og_pretraining_converges(world):
     from vln_magic_tpu.data import HashObjectStore
     from vln_magic_tpu.env.synthetic import make_synthetic_reverie_items

@@ -70,6 +70,19 @@ class PathDataBuilder:
         # og_batch ingests real endpoint objects when set
         self.obj_db = obj_db
         self.max_objects = max_objects
+        # object-image box normalization: REVERIE frames are 640x480
+        # (reference dataset.py:489-491); the SOON variant uses 600x600
+        # (SoonTextPathData, dataset.py:796-797) — set by soon_mode
+        self.obj_image_wh = (640.0, 480.0)
+
+    def soon_mode(self):
+        """Switch to SOON-dataset semantics (reference SoonTextPathData,
+        pretrain_src/data/dataset.py:775-816): 600x600 object images, 'pos'
+        endpoints are the annotated gt path end (no pos_vps resampling), and
+        object labels come from ``obj_pseudo_label`` (see og_batch)."""
+        self.obj_image_wh = (600.0, 600.0)
+        self._soon = True
+        return self
 
     # ----- per-item assembly -----
 
@@ -130,7 +143,10 @@ class PathDataBuilder:
         reverie = "pos_vps_idx" in item
         pos = ([int(v) for v in item["pos_vps_idx"]] if reverie else [gt[-1]])
         if end_vp_type == "pos":
-            if reverie:
+            # SOON keeps REVERIE's pos_vps for negatives but pins 'pos' to
+            # the annotated path end (SoonTextPathData.get_input,
+            # dataset.py:803-816)
+            if reverie and not getattr(self, "_soon", False):
                 end_vp = int(self.rng.choice(pos))
                 path = [int(v) for v in
                         self.world.graphs[si].path_indices(gt[0], end_vp)]
@@ -438,14 +454,22 @@ class PathDataBuilder:
                 ang = get_angle_fts(attrs["directions"][:n, 0],
                                     attrs["directions"][:n, 1], self.afs)
                 w, h = attrs["sizes"][:n, 0], attrs["sizes"][:n, 1]
-                box = np.stack([h / 480.0, w / 640.0,
-                                (w * h) / (480.0 * 640.0)], 1)
+                img_w, img_h = self.obj_image_wh
+                box = np.stack([h / img_h, w / img_w,
+                                (w * h) / (img_h * img_w)], 1)
                 obj_loc[b, :n] = np.concatenate([ang, box], 1)
-                gt = str(it.get("objId",
-                                it["instr_id"].split("_")[1]
-                                if it["instr_id"].count("_") >= 2 else ""))
-                ids = attrs["obj_ids"][:n]
-                obj_labels[b] = ids.index(gt) if gt in ids else -100
+                if "obj_pseudo_label" in it:
+                    # SOON: pseudo-label index into the endpoint's objects,
+                    # ignore when it overflows the object budget
+                    # (SoonTextPathData.get_obj_label, dataset.py:799-803)
+                    lbl = int(it["obj_pseudo_label"]["idx"])
+                    obj_labels[b] = lbl if lbl < M else -100
+                else:
+                    gt = str(it.get("objId",
+                                    it["instr_id"].split("_")[1]
+                                    if it["instr_id"].count("_") >= 2 else ""))
+                    ids = attrs["obj_ids"][:n]
+                    obj_labels[b] = ids.index(gt) if gt in ids else -100
         else:
             d = obj_feat_dim or self.t.feat_dim
             obj_features = self.rng.standard_normal(
