@@ -92,7 +92,8 @@ def build_cfg(args, smoke):
         train=TrainConfig(batch_size=batch, compute_dtype=args.dtype,
                           train_alg="dagger", ml_weight=0.2, lr=4e-5,
                           remat=args.remat or (args.train and not args.smoke),
-                          remat_policy=args.remat_policy),
+                          remat_policy=args.remat_policy,
+                          fuse_rollouts=args.fuse_rollouts),
         distill=DistillConfig(
             train_kdl=args.train, train_teacher=args.train,
             teacher_sample_hard_mining=args.train,
@@ -131,6 +132,10 @@ def main():
     ap.add_argument("--pallas_teacher", action="store_true", default=False,
                     help="fused pallas attention for the 12-head teacher "
                          "only (--train mode)")
+    ap.add_argument("--fuse_rollouts", action="store_true", default=False,
+                    help="A/B: run the DAgger step's two rollouts as one "
+                         "fused double-width scan (measured neutral at "
+                         "batch 16, docs/PERF.md)")
     ap.add_argument("--fuse_branches", action="store_true", default=False,
                     help="vmapped branch-stacked cross-modal trunk (measured "
                          "dead end, -21%% eval; kept for A/B)")

@@ -94,6 +94,93 @@ def test_icod_trains_teacher(world, items):
     assert not np.array_equal(t_before, t_after), "ICoD must update the teacher"
 
 
+def test_fused_dual_rollout_matches_sequential(world, items):
+    """The fused teacher+dagger scan (Rollout.run fused_split) must
+    reproduce the two sequential rollouts' losses exactly: per-half MKTD
+    'norm' weights normalize within their half, every reduction stays in
+    its half.  deterministic=True + argmax dagger removes all rng effects
+    (MKRW off)."""
+    import jax.numpy as jnp
+
+    from vln_magic_tpu.agent.navigator import (episodes_from_items,
+                                               pad_instructions)
+
+    cfg = MagicConfig(
+        model=_small_model(32, 2, kd=True, kd_target=64),
+        teacher_model=_small_model(64, 2, kd=True, kd_target=32),
+        env=EnvConfig(max_action_len=4, max_gmap_len=16),
+        train=TrainConfig(batch_size=4, train_alg="dagger", ml_weight=0.2,
+                          dagger_sample="argmax"),
+        distill=DistillConfig(train_kdl=True, train_teacher=True,
+                              teacher_sample_hard_mining=True,
+                              sample_preprocess="norm"),
+    )
+    tr = Trainer(cfg, world)
+    batch = items[:4]
+    txt_ids, txt_masks = pad_instructions(batch, cfg.env.max_instr_len)
+    state0 = episodes_from_items(tr.tables, world, batch,
+                                 tr.rollout.model_dims)
+    rng = jax.random.PRNGKey(3)
+    ids, masks = jnp.asarray(txt_ids), jnp.asarray(txt_masks)
+
+    def run(state, feedback, fused_split=None, ids=ids, masks=masks):
+        _, aux = tr.rollout.run(
+            tr.params, state, ids, masks, feedback, rng, train_ml=1.0,
+            deterministic=True, teacher_params=tr.t_params,
+            distill=cfg.distill, tables=tr.tables, fused_split=fused_split)
+        return aux
+
+    a_tf = run(state0, "teacher")
+    a_dg = run(state0, "argmax")
+    dup = lambda x: jnp.concatenate([x, x], axis=0)
+    state2 = jax.tree_util.tree_map(dup, state0)
+    fused = run(state2, "teacher+argmax", fused_split=4,
+                ids=dup(ids), masks=dup(masks))
+
+    np.testing.assert_allclose(fused["ml_loss_vec"][0], a_tf["ml_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(fused["ml_loss_vec"][1], a_dg["ml_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(fused["t_ml_loss_vec"][0], a_tf["t_ml_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(fused["t_ml_loss_vec"][1], a_dg["t_ml_loss"],
+                               rtol=1e-5)
+    for k in a_tf["kd_losses"]:
+        np.testing.assert_allclose(fused["kd_losses_tf"][k],
+                                   a_tf["kd_losses"][k], rtol=2e-4, atol=1e-6,
+                                   err_msg=f"t2s {k} (tf half)")
+        np.testing.assert_allclose(fused["kd_losses_dg"][k],
+                                   a_dg["kd_losses"][k], rtol=2e-4, atol=1e-6,
+                                   err_msg=f"t2s {k} (dagger half)")
+        np.testing.assert_allclose(fused["t_kd_losses_tf"][k],
+                                   a_tf["t_kd_losses"][k], rtol=2e-4,
+                                   atol=1e-6, err_msg=f"s2t {k} (tf half)")
+        np.testing.assert_allclose(fused["t_kd_losses_dg"][k],
+                                   a_dg["t_kd_losses"][k], rtol=2e-4,
+                                   atol=1e-6, err_msg=f"s2t {k} (dagger half)")
+    # the fused trajectories themselves match the sequential halves
+    np.testing.assert_array_equal(np.asarray(fused["actions"][:, :4]),
+                                  np.asarray(a_tf["actions"]))
+    np.testing.assert_array_equal(np.asarray(fused["actions"][:, 4:]),
+                                  np.asarray(a_dg["actions"]))
+
+
+def test_fused_dagger_trainer_step(world, items):
+    """Trainer path with fuse_rollouts on: metrics keep the il/ + dagger/
+    structure and the loss is finite."""
+    cfg = MagicConfig(
+        model=_small_model(32, 2),
+        env=EnvConfig(max_action_len=4, max_gmap_len=16),
+        train=TrainConfig(batch_size=4, lr=1e-4, train_alg="dagger",
+                          ml_weight=0.2, fuse_rollouts=True),
+    )
+    assert cfg.train.fuse_rollouts
+    tr = Trainer(cfg, world)
+    m = tr.train_step(items[:4])
+    assert "il/ml_loss" in m and "dagger/ml_loss" in m
+    assert np.isfinite(m["loss"]) and m["grad_norm"] > 0
+
+
 def test_lr_schedules():
     cfg = MagicConfig(train=TrainConfig(lr=1e-4, use_lr_sch=True,
                                         lr_sch="cosine", warmup_iters=10,

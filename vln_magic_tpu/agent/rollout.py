@@ -577,23 +577,26 @@ class Rollout:
     # ------------------------------------------------------------------
 
     def teacher_action_local(self, state: EpisodeBatch, pano, t_step: int,
-                             imitation: bool):
+                             imitation):
         """Supervision in the LOCAL (viewpoint-branch) action space for
         ``fusion='local'``: slots are [stop],[mem],candidates... — the gt
         next hop / spl-expert candidate index instead of a gmap token
-        (reference fusion==local call sites, agent.py:1003,1044)."""
+        (reference fusion==local call sites, agent.py:1003,1044).
+        ``imitation``: python bool or [B] bool array (fused dual rollout)."""
         env = self.env
         b = state.batch_size
         cand_ids, cand_mask = pano["cand_ids"], pano["cand_mask"]
-        if imitation:
+
+        def imit():
             tt = jnp.minimum(jnp.full((b,), t_step + 1), state.gt_len - 1)
             goal_vp = jnp.take_along_axis(state.gt_path, tt[:, None], 1)[:, 0]
             stop = t_step >= (state.gt_len - 1)
             eq = (cand_ids == goal_vp[:, None]) & cand_mask
             idx = 2 + eq.argmax(axis=1).astype(jnp.int32)
-            a = jnp.where(stop, 0,
-                          jnp.where(eq.any(axis=1), idx, env.ignore_id))
-        else:
+            return jnp.where(stop, 0,
+                             jnp.where(eq.any(axis=1), idx, env.ignore_id))
+
+        def expert():
             dists = self.t.dist[state.scan]
             safe = jnp.maximum(cand_ids, 0)
             d_cur = jnp.take_along_axis(dists[jnp.arange(b), state.cur],
@@ -601,50 +604,72 @@ class Rollout:
             d_goal = dists[jnp.arange(b)[:, None], safe, state.goal[:, None]]
             cost = jnp.where(cand_mask, d_cur + d_goal, jnp.inf)
             best = 2 + jnp.argmin(cost, axis=1).astype(jnp.int32)
-            a = jnp.where(state.cur == state.goal, 0, best)
+            return jnp.where(state.cur == state.goal, 0, best)
+
+        if isinstance(imitation, bool):
+            a = imit() if imitation else expert()
+        else:
+            a = jnp.where(imitation, imit(), expert())
         return jnp.where(state.ended, env.ignore_id, a)
 
-    def teacher_action(self, state: EpisodeBatch, gmap, t_step: int,
-                       imitation: bool):
-        env = self.env
-        token_node = gmap["token_node"]
+    def _teacher_action_imitation(self, state: EpisodeBatch, gmap,
+                                  t_step: int):
+        """Ground-truth next hop at step t (teacher forcing keeps the agent
+        on gt_path, agent.py:339-347)."""
         b = state.batch_size
-        if imitation:
-            # ground-truth next hop at step t (teacher forcing keeps the agent
-            # on gt_path, agent.py:339-347)
-            tt = jnp.minimum(jnp.full((b,), t_step + 1), state.gt_len - 1)
-            goal_vp = jnp.take_along_axis(state.gt_path, tt[:, None], axis=1)[:, 0]
-            stop = t_step >= (state.gt_len - 1)
-            eq = (token_node == goal_vp[:, None]) & gmap["token_valid"]
-            idx = 2 + eq.argmax(axis=1).astype(jnp.int32)
-            # gt next hop absent from the token set (gmap budget overflow
-            # truncated it away) -> ignore_id, NOT stop: emitting 0 would both
-            # corrupt the IL target and end the teacher-forced episode.  The
-            # reference never truncates (it pads to the batch max); overflow
-            # is surfaced via aux["gmap_overflow"] in run().
-            a = jnp.where(stop, 0,
-                          jnp.where(eq.any(axis=1), idx, env.ignore_id))
+        token_node = gmap["token_node"]
+        tt = jnp.minimum(jnp.full((b,), t_step + 1), state.gt_len - 1)
+        goal_vp = jnp.take_along_axis(state.gt_path, tt[:, None], axis=1)[:, 0]
+        stop = t_step >= (state.gt_len - 1)
+        eq = (token_node == goal_vp[:, None]) & gmap["token_valid"]
+        idx = 2 + eq.argmax(axis=1).astype(jnp.int32)
+        # gt next hop absent from the token set (gmap budget overflow
+        # truncated it away) -> ignore_id, NOT stop: emitting 0 would both
+        # corrupt the IL target and end the teacher-forced episode.  The
+        # reference never truncates (it pads to the batch max); overflow
+        # is surfaced via aux["gmap_overflow"] in run().
+        return jnp.where(stop, 0,
+                         jnp.where(eq.any(axis=1), idx, self.env.ignore_id))
+
+    def _teacher_action_expert(self, state: EpisodeBatch, gmap):
+        """DAgger expert action in the gmap action space (agent.py:350-366)."""
+        env = self.env
+        b = state.batch_size
+        token_node = gmap["token_node"]
+        visited_tok = jnp.take_along_axis(
+            state.visited[:, : self.t.node_mask.shape[1]], token_node, 1)
+        eligible = gmap["token_valid"] & ~visited_tok
+        if env.expert_policy == "ndtw":
+            # expert: max nDTW of (trajectory-so-far + shortest path to
+            # the candidate) against the gt path (agent.py:357-363)
+            ndtw = self._ndtw_scores(state, gmap)
+            cost = jnp.where(eligible, -ndtw, jnp.inf)
         else:
-            visited_tok = jnp.take_along_axis(
-                state.visited[:, : self.t.node_mask.shape[1]], token_node, 1)
-            eligible = gmap["token_valid"] & ~visited_tok
-            if env.expert_policy == "ndtw":
-                # expert: max nDTW of (trajectory-so-far + shortest path to
-                # the candidate) against the gt path (agent.py:357-363)
-                ndtw = self._ndtw_scores(state, gmap)
-                cost = jnp.where(eligible, -ndtw, jnp.inf)
-            else:
-                # spl expert: min dist(cur -> node) + dist(node -> goal)
-                # (agent.py:364-366)
-                dists = self.t.dist[state.scan]
-                d_cur = jnp.take_along_axis(dists[jnp.arange(b), state.cur],
-                                            token_node, 1)
-                d_goal = dists[jnp.arange(b)[:, None], token_node,
-                               state.goal[:, None]]
-                cost = jnp.where(eligible, d_cur + d_goal, jnp.inf)
-            best = 2 + jnp.argmin(cost, axis=1).astype(jnp.int32)
-            stop = state.cur == state.goal
-            a = jnp.where(stop, 0, best)
+            # spl expert: min dist(cur -> node) + dist(node -> goal)
+            # (agent.py:364-366)
+            dists = self.t.dist[state.scan]
+            d_cur = jnp.take_along_axis(dists[jnp.arange(b), state.cur],
+                                        token_node, 1)
+            d_goal = dists[jnp.arange(b)[:, None], token_node,
+                           state.goal[:, None]]
+            cost = jnp.where(eligible, d_cur + d_goal, jnp.inf)
+        best = 2 + jnp.argmin(cost, axis=1).astype(jnp.int32)
+        stop = state.cur == state.goal
+        return jnp.where(stop, 0, best)
+
+    def teacher_action(self, state: EpisodeBatch, gmap, t_step: int,
+                       imitation):
+        """``imitation``: python bool (whole batch) or a [B] bool array —
+        the fused dual-rollout step supervises the teacher-forced half with
+        gt next hops and the DAgger half with the expert in ONE call."""
+        env = self.env
+        if isinstance(imitation, bool):
+            a = (self._teacher_action_imitation(state, gmap, t_step)
+                 if imitation else self._teacher_action_expert(state, gmap))
+        else:
+            a = jnp.where(imitation,
+                          self._teacher_action_imitation(state, gmap, t_step),
+                          self._teacher_action_expert(state, gmap))
         return jnp.where(state.ended, env.ignore_id, a)
 
     def _ndtw_scores(self, state: EpisodeBatch, gmap, k_ext: int = 16,
@@ -721,7 +746,7 @@ class Rollout:
 
     def transition(self, state: EpisodeBatch, gmap, action, stop_prob,
                    t_step: int, feedback: str, pano=None,
-                   local_actions: bool = False):
+                   local_actions: bool = False, is_tf=None):
         t = self.t
         env = self.env
         b = state.batch_size
@@ -737,7 +762,14 @@ class Rollout:
             jnp.where(live, stop_prob, state.stop_scores[bi, cur_t]))
 
         # stop determination (agent.py:1056-1076)
-        if feedback in ("teacher", "sample"):
+        if "+" in feedback:
+            # fused dual rollout: teacher-forced rows stop at the goal, the
+            # DAgger rows follow their own mode's rule
+            dagger = feedback.split("+", 1)[1]
+            goal_stop = is_tf | (dagger == "sample")
+            wants_stop = jnp.where(goal_stop, state.cur == state.goal,
+                                   action == 0)
+        elif feedback in ("teacher", "sample"):
             wants_stop = state.cur == state.goal
         else:
             wants_stop = action == 0
@@ -911,10 +943,19 @@ class Rollout:
         return state, gmap, outs
 
     def select_action(self, logits, feedback, rng, nav_targets, gmap, state,
-                      explore_mask=None):
+                      explore_mask=None, is_tf=None):
         """Action choice per feedback mode (agent.py:1028-1054).
         ``explore_mask`` overrides the expl_sample random-action support
-        (fusion='local' explores over the viewpoint branch, agent.py:1044)."""
+        (fusion='local' explores over the viewpoint branch, agent.py:1044).
+        ``feedback='teacher+<mode>'`` with ``is_tf`` [B] bool: the fused
+        dual-rollout step — teacher-forced rows take the gt target, the
+        rest follow ``<mode>``."""
+        if "+" in feedback:
+            dagger = feedback.split("+", 1)[1]
+            a_tf = jnp.maximum(nav_targets, 0)
+            a_dg = self.select_action(logits, dagger, rng, nav_targets, gmap,
+                                      state, explore_mask)
+            return jnp.where(is_tf, a_tf, a_dg)
         if feedback == "teacher":
             a = jnp.maximum(nav_targets, 0)   # ignore_id rows are ended anyway
         elif feedback == "argmax":
@@ -940,8 +981,20 @@ class Rollout:
             distill=None, ability_grads=None, use_teacher_policy=False,
             zdicts=None, ensemble_n: int = 1, train_rl: bool = False,
             critic=None, critic_params=None, gamma: float = 0.9,
-            remat: bool = False, tables: "Tables | None" = None):
+            remat: bool = False, tables: "Tables | None" = None,
+            fused_split: int | None = None):
         """Full episode rollout under ``lax.scan``.
+
+        ``fused_split``: fused dual-rollout mode — ``feedback`` must be
+        ``'teacher+<mode>'``; rows [0, fused_split) run teacher-forced and
+        the rest run DAgger ``<mode>``, in ONE scan at double width.  The
+        per-step pipeline is dispatch-latency bound (docs/PERF.md), so one
+        wide scan beats the reference's two sequential rollouts
+        (agent_base.py:236-259 runs them back to back).  Per-half losses are
+        kept exactly separate (MKTD normalization, MKRW draws, and loss
+        reductions all stay within their half) so the math equals the two
+        independent rollouts; see aux keys ``ml_loss_vec``/``kd_losses_tf``/
+        ``kd_losses_dg``.
 
         ``tables``: pass the world :class:`Tables` as a TRACED argument when
         calling from inside jit.  Closed-over tables become XLA compile-time
@@ -969,7 +1022,8 @@ class Rollout:
                                 rng, train_ml, deterministic, teacher_params,
                                 distill, ability_grads, use_teacher_policy,
                                 zdicts, ensemble_n, train_rl, critic,
-                                critic_params, gamma, remat)
+                                critic_params, gamma, remat,
+                                fused_split=fused_split)
             finally:
                 self.t = prev_t
 
@@ -985,6 +1039,11 @@ class Rollout:
                             "global": "global_logits",
                             "local": "local_logits"}[self.cfg.fusion]
         local_acts = self.cfg.fusion == "local"
+        fused = fused_split is not None
+        if fused and "+" not in feedback:
+            raise ValueError("fused_split requires feedback='teacher+<mode>'")
+        # numpy constant: embeds into the program without a device round-trip
+        is_tf = (np.arange(state.batch_size) < fused_split) if fused else None
         if rng is None:
             rng = jax.random.PRNGKey(0)
         rngs = None if deterministic else {"dropout": rng}
@@ -1085,18 +1144,25 @@ class Rollout:
             nav_targets = None
             step_ce = jnp.zeros((state.batch_size,))
             if train_ml is not None or feedback == "teacher":
+                imitation = (jnp.asarray(is_tf) if fused
+                             else feedback == "teacher")
                 if local_acts:
                     nav_targets = self.teacher_action_local(
-                        state, pano_shared, t_step,
-                        imitation=(feedback == "teacher"))
+                        state, pano_shared, t_step, imitation=imitation)
                 else:
                     nav_targets = self.teacher_action(
-                        state, gmap, t_step, imitation=(feedback == "teacher"))
+                        state, gmap, t_step, imitation=imitation)
                 valid = nav_targets != self.env.ignore_id
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 tgt = jnp.maximum(nav_targets, 0)
                 step_ce = -jnp.take_along_axis(logp, tgt[:, None], 1)[:, 0] * valid
-                ml_loss = ml_loss + step_ce.sum()
+                if fused:
+                    # per-half CE sums (the trainer weights them separately)
+                    ml_loss = ml_loss + jnp.stack(
+                        [step_ce[:fused_split].sum(),
+                         step_ce[fused_split:].sum()])
+                else:
+                    ml_loss = ml_loss + step_ce.sum()
 
             if kdl and train_ml is not None:
                 # teacher per-sample CE -> MKTD weights + ICoD teacher IL loss
@@ -1104,40 +1170,71 @@ class Rollout:
                 tgt = jnp.maximum(nav_targets, 0)
                 valid = nav_targets != self.env.ignore_id
                 t_ce = -jnp.take_along_axis(t_logp, tgt[:, None], 1)[:, 0] * valid
-                t_ml_loss = t_ml_loss + t_ce.sum()
-                from .losses import mktd_sample_weights
-                t_sw = s_sw = None
-                if mktd:
-                    t_sw = jax.lax.stop_gradient(mktd_sample_weights(
-                        t_ce, distill.sample_preprocess,
-                        distill.sample_exp_decay))
-                    s_sw = jax.lax.stop_gradient(mktd_sample_weights(
-                        step_ce, distill.sample_preprocess,
-                        distill.sample_exp_decay))
+                from .losses import mkrw_weights, mktd_sample_weights
 
-                ab_w = None
-                if distill.adaptive_ability_weight and \
-                        distill.adaptive_ability_weight_type == "RW":
-                    from .losses import mkrw_weights
-                    ab_w = mkrw_weights(k_rw, 5, distill.rw_temp)
-                elif ab_w_static is not None:
-                    ab_w = ab_w_static
+                def half_weights(ce_t, ce_s):
+                    t_sw = s_sw = None
+                    if mktd:
+                        t_sw = jax.lax.stop_gradient(mktd_sample_weights(
+                            ce_t, distill.sample_preprocess,
+                            distill.sample_exp_decay))
+                        s_sw = jax.lax.stop_gradient(mktd_sample_weights(
+                            ce_s, distill.sample_preprocess,
+                            distill.sample_exp_decay))
+                    return t_sw, s_sw
 
-                kd_acc = D.add_losses(kd_acc, D.makd_step_losses(
-                    distill, t_step, outs, t_outs, s_project, nav_targets,
-                    ab_w, t_sw, s_learned, role="t2s",
-                    ignore_id=self.env.ignore_id))
-                if icod:
-                    t_kd_acc = D.add_losses(t_kd_acc, D.makd_step_losses(
-                        distill, t_step, t_outs, outs, s_project, nav_targets,
-                        ab_w, s_sw, t_learned, role="s2t",
+                def ab_for(key):
+                    if distill.adaptive_ability_weight and \
+                            distill.adaptive_ability_weight_type == "RW":
+                        return mkrw_weights(key, 5, distill.rw_temp)
+                    return ab_w_static
+
+                if fused:
+                    # strictly per-half losses: MKTD normalization, MKRW
+                    # draws, and every reduction stay inside their half —
+                    # the sums equal the two independent rollouts exactly
+                    t_ml_loss = t_ml_loss + jnp.stack(
+                        [t_ce[:fused_split].sum(), t_ce[fused_split:].sum()])
+                    halves = (("tf", slice(0, fused_split)),
+                              ("dg", slice(fused_split, None)))
+                    keys_rw = jax.random.split(k_rw, 2)
+                    take = lambda tree, sl: jax.tree_util.tree_map(
+                        lambda x: x[sl], tree)
+                    for (name, sl), k_rw_h in zip(halves, keys_rw):
+                        t_sw, s_sw = half_weights(t_ce[sl], step_ce[sl])
+                        ab_w = ab_for(k_rw_h)
+                        o_h, t_o_h = take(outs, sl), take(t_outs, sl)
+                        kd_acc[name] = D.add_losses(
+                            kd_acc[name], D.makd_step_losses(
+                                distill, t_step, o_h, t_o_h, s_project,
+                                nav_targets[sl], ab_w, t_sw, s_learned,
+                                role="t2s", ignore_id=self.env.ignore_id))
+                        if icod:
+                            t_kd_acc[name] = D.add_losses(
+                                t_kd_acc[name], D.makd_step_losses(
+                                    distill, t_step, t_o_h, o_h, s_project,
+                                    nav_targets[sl], ab_w, s_sw, t_learned,
+                                    role="s2t", ignore_id=self.env.ignore_id))
+                else:
+                    t_ml_loss = t_ml_loss + t_ce.sum()
+                    t_sw, s_sw = half_weights(t_ce, step_ce)
+                    ab_w = ab_for(k_rw)
+                    kd_acc = D.add_losses(kd_acc, D.makd_step_losses(
+                        distill, t_step, outs, t_outs, s_project, nav_targets,
+                        ab_w, t_sw, s_learned, role="t2s",
                         ignore_id=self.env.ignore_id))
+                    if icod:
+                        t_kd_acc = D.add_losses(t_kd_acc, D.makd_step_losses(
+                            distill, t_step, t_outs, outs, s_project,
+                            nav_targets, ab_w, s_sw, t_learned, role="s2t",
+                            ignore_id=self.env.ignore_id))
 
             policy_logits = t_logits if (kdl and use_teacher_policy) else logits
             a = self.select_action(
                 policy_logits, feedback, k_act, nav_targets, gmap, state,
                 explore_mask=(shared[2]["vp_nav_masks"] if local_acts
-                              else None))
+                              else None),
+                is_tf=(jnp.asarray(is_tf) if fused else None))
             stop_prob = jax.nn.softmax(policy_logits, axis=-1)[:, 0]
 
             # episodes active at the top of this step: the honest per-step
@@ -1161,7 +1258,8 @@ class Rollout:
 
             state, chosen, just_ended = self.transition(
                 state, gmap, a, stop_prob, t_step, feedback,
-                pano=pano_shared, local_actions=local_acts)
+                pano=pano_shared, local_actions=local_acts,
+                is_tf=(jnp.asarray(is_tf) if fused else None))
             rec["chosen"] = chosen
             if train_rl:
                 d_after = self.t.dist[state.scan, state.cur, state.goal]
@@ -1172,8 +1270,9 @@ class Rollout:
                 rec["reward"] = progress + bonus
             return (state, rng, ml_loss, t_ml_loss, kd_acc, t_kd_acc), rec
 
-        zeros = jnp.zeros(())
-        kd0 = D.zero_kd_losses()
+        zeros = jnp.zeros((2,)) if fused else jnp.zeros(())
+        kd0 = ({"tf": D.zero_kd_losses(), "dg": D.zero_kd_losses()}
+               if fused else D.zero_kd_losses())
         if remat:
             # recompute the step in the backward pass instead of keeping
             # both models' per-step activations live across the whole scan
@@ -1185,15 +1284,18 @@ class Rollout:
             step_fn = jax.checkpoint(step_fn, prevent_cse=False,
                                      policy=policy)
         (state, _, ml_loss, t_ml_loss, kd_acc, t_kd_acc), recs = jax.lax.scan(
-            step_fn, (state, rng, zeros, zeros, kd0, dict(kd0)),
+            step_fn, (state, rng, zeros, zeros, kd0,
+                      jax.tree_util.tree_map(lambda x: x, kd0)),
             jnp.arange(self.env.max_action_len))
 
         aux = {
             "actions": recs["chosen"],           # [T, B]
-            "ml_loss": ml_loss,
-            "t_ml_loss": t_ml_loss,
-            "kd_losses": kd_acc,
-            "t_kd_losses": t_kd_acc,
+            "ml_loss": ml_loss.sum() if fused else ml_loss,
+            "t_ml_loss": t_ml_loss.sum() if fused else t_ml_loss,
+            "kd_losses": (D.add_losses(kd_acc["tf"], kd_acc["dg"])
+                          if fused else kd_acc),
+            "t_kd_losses": (D.add_losses(t_kd_acc["tf"], t_kd_acc["dg"])
+                            if fused else t_kd_acc),
             "stop_node": self.final_stop_node(state),
             "final_cur": state.cur,
             # semantic (pre-ended) step count across the batch, for honest
@@ -1205,6 +1307,17 @@ class Rollout:
             "gmap_overflow": (state.obs_count
                               > self.env.max_gmap_len - 2).sum(),
         }
+        if fused:
+            # per-half views for the trainer's exact per-rollout weighting
+            ov = state.obs_count > self.env.max_gmap_len - 2
+            aux["gmap_overflow_tf"] = ov[:fused_split].sum()
+            aux["gmap_overflow_dg"] = ov[fused_split:].sum()
+            aux["ml_loss_vec"] = ml_loss          # [2] = (tf, dagger) sums
+            aux["t_ml_loss_vec"] = t_ml_loss
+            aux["kd_losses_tf"], aux["kd_losses_dg"] = \
+                kd_acc["tf"], kd_acc["dg"]
+            aux["t_kd_losses_tf"], aux["t_kd_losses_dg"] = \
+                t_kd_acc["tf"], t_kd_acc["dg"]
         if self.env.observed_graph_parity:
             tn, tl = self._record_backtrack(state, aux["stop_node"])
             aux["traj_nodes"], aux["traj_len"] = tn, tl

@@ -284,6 +284,53 @@ class Trainer:
             total = ml
         return total, jnp.zeros(()), metrics
 
+    def _loss_for_fused_rollouts(self, params, t_params, state0, txt_ids,
+                                 txt_masks, rng, ability_grads=None,
+                                 zdicts=None, tables=None):
+        """The DAgger step's two rollouts as ONE fused scan (see
+        ``Rollout.run`` fused_split).  The batch is doubled — rows [0, B)
+        teacher-forced, rows [B, 2B) DAgger-sampled — and the per-half loss
+        sums are weighted exactly as the two sequential
+        ``_loss_for_rollout`` calls would weight them."""
+        c = self.cfg
+        d = c.distill if self.kdl else None
+        bs = state0.batch_size
+        dup = lambda x: jnp.concatenate([x, x], axis=0)
+        state2 = jax.tree_util.tree_map(dup, state0)
+        _, aux = self.rollout.run(
+            params, state2, dup(txt_ids), dup(txt_masks),
+            f"teacher+{c.train.dagger_sample}", rng, train_ml=1.0,
+            deterministic=False, teacher_params=t_params, distill=d,
+            ability_grads=ability_grads, zdicts=zdicts, tables=tables,
+            fused_split=bs,
+            remat=(c.train.remat_policy if c.train.remat_policy != "full"
+                   else True) if c.train.remat else False)
+        w = (c.train.ml_weight, 1.0)
+        ml = tuple(aux["ml_loss_vec"][i] * w[i] / bs for i in (0, 1))
+        metrics = {"il/ml_loss": ml[0], "dagger/ml_loss": ml[1],
+                   "il/gmap_overflow": aux["gmap_overflow_tf"],
+                   "dagger/gmap_overflow": aux["gmap_overflow_dg"]}
+        if not self.kdl:
+            return ml[0] + ml[1], jnp.zeros(()), metrics
+        kd = (total_kd_loss(aux["kd_losses_tf"]) / bs,
+              total_kd_loss(aux["kd_losses_dg"]) / bs)
+        total = sum(c.distill.alpha * kd[i] + (1 - c.distill.alpha) * ml[i]
+                    for i in (0, 1))
+        metrics["il/kdl_loss"], metrics["dagger/kdl_loss"] = kd
+        t_total = jnp.zeros(())
+        if c.distill.train_teacher:
+            t_ml = tuple(aux["t_ml_loss_vec"][i] * w[i] / bs for i in (0, 1))
+            t_kd = (total_kd_loss(aux["t_kd_losses_tf"]) * w[0],
+                    total_kd_loss(aux["t_kd_losses_dg"]) * w[1])
+            t_total = sum(c.distill.t_alpha * t_kd[i]
+                          + (1 - c.distill.t_alpha) * t_ml[i]
+                          for i in (0, 1))
+            metrics["il/t_loss"] = (c.distill.t_alpha * t_kd[0]
+                                    + (1 - c.distill.t_alpha) * t_ml[0])
+            metrics["dagger/t_loss"] = (c.distill.t_alpha * t_kd[1]
+                                        + (1 - c.distill.t_alpha) * t_ml[1])
+        return total, t_total, metrics
+
     def _make_step(self):
         c = self.cfg
         alg = c.train.train_alg
@@ -302,6 +349,17 @@ class Trainer:
                     "teacher", 1.0, k1, ability_grads, zdicts, tables)
                 total, t_total = total + l, t_total + tl
                 metrics.update({f"il/{k}": v for k, v in m.items()})
+            elif alg == "dagger" and c.train.fuse_rollouts \
+                    and c.train.ml_weight != 0:
+                # fused dual rollout: the reference's two sequential
+                # rollouts (teacher-forced at ml_weight, sampled at 1.0,
+                # agent_base.py:236-259) run as ONE scan at double batch
+                # width — the step is dispatch-bound, so width amortizes
+                l, tl, m = self._loss_for_fused_rollouts(
+                    params, t_params, state0, txt_ids, txt_masks, k1,
+                    ability_grads, zdicts, tables)
+                total, t_total = total + l, t_total + tl
+                metrics.update(m)
             elif alg == "dagger":
                 # run_r2r_kdl_valid.sh regime: ml_weight 0.2 + sample 1.0
                 if c.train.ml_weight != 0:

@@ -173,6 +173,14 @@ class TrainConfig:
     # pretrain_src/data/loader.py:22-55).  1 = off.
     accum_steps: int = 1
     dagger_sample: str = "sample"
+    # fused dual rollout: run the DAgger step's two rollouts (teacher-forced
+    # at ml_weight + sampled at 1.0, agent_base.py:236-259) as ONE scan at
+    # double batch width.  Math is exactly the two sequential rollouts
+    # (per-half loss bookkeeping, tests/test_trainer.py) but MEASURED
+    # NEUTRAL at the reference batch 16 (1,149 vs 1,154 ms — the train step
+    # is not dispatch-bound the way eval is; docs/PERF.md decisions table),
+    # so the default stays the reference-shaped two-rollout step.
+    fuse_rollouts: bool = False
     feedback: str = "sample"
     use_lr_sch: bool = False
     lr_sch: str = "polynomial"
