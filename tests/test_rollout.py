@@ -124,6 +124,21 @@ def test_expert_action_is_optimal(setup):
         assert a[b] == best
 
 
+def test_scan_unroll_equivalence(setup):
+    """scan_unroll is an execution-strategy knob only: unrolled greedy
+    decode must produce the trajectories of the rolled loop exactly."""
+    import dataclasses
+
+    world, cfg, nav, items = setup
+    (_, _), preds1 = nav.evaluate(items[:4], batch_size=4)
+    cfg_u = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, scan_unroll=4))
+    nav_u = Navigator(cfg_u, world, rng=jax.random.PRNGKey(0))
+    (_, _), preds2 = nav_u.evaluate(items[:4], batch_size=4)
+    for p1, p2 in zip(preds1, preds2):
+        assert p1["trajectory_idx"] == p2["trajectory_idx"]
+
+
 def test_envedit_aug_feature_selection(setup):
     """Episodes flagged aug must see the alternate feature table."""
     from vln_magic_tpu.agent.rollout import Tables, init_episodes

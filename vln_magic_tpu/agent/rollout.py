@@ -1286,7 +1286,8 @@ class Rollout:
         (state, _, ml_loss, t_ml_loss, kd_acc, t_kd_acc), recs = jax.lax.scan(
             step_fn, (state, rng, zeros, zeros, kd0,
                       jax.tree_util.tree_map(lambda x: x, kd0)),
-            jnp.arange(self.env.max_action_len))
+            jnp.arange(self.env.max_action_len),
+            unroll=self.env.scan_unroll)
 
         aux = {
             "actions": recs["chosen"],           # [T, B]

@@ -122,6 +122,12 @@ class EnvConfig:
     # observed subgraph (GraphMap behavior) instead of precomputed full-graph
     # tables; costs a [B, N, N] distance matrix in the episode state
     observed_graph_parity: bool = False
+    # lax.scan unroll factor for the rollout time loop.  The per-step
+    # pipeline is dispatch-latency bound (~1.3k device ops at ~3 us,
+    # docs/PERF.md); unrolling lets XLA fuse across step boundaries and
+    # drop loop-carry layout fix-ups.  Semantics are identical for any
+    # value.  1 = rolled (default).
+    scan_unroll: int = 1
 
 
 @dataclass
