@@ -132,6 +132,13 @@ def test_sigterm_writes_emergency_state(tmp_path):
                              "train_state")
     record = os.path.join(str(tmp_path), "navigator", "sig", "logs",
                           "train.txt")
+    def context():
+        """Diagnosable failure text: without this, an in-suite flake is
+        unreproducible (round-2 verdict weak #1 / round-3 suite run #2)."""
+        rec = open(record).read()[-1500:] if os.path.exists(record) else "<no record>"
+        err = proc.stderr.read()[-1500:] if proc.poll() is not None else "<running>"
+        return f"\n-- record tail --\n{rec}\n-- stderr tail --\n{err}"
+
     try:
         # Gate on the pre-compile "armed" marker, not the first interval:
         # in-suite the subprocess's train-step compile has measured >900 s
@@ -139,26 +146,28 @@ def test_sigterm_writes_emergency_state(tmp_path):
         # XLA compile defers the handler until the compile returns.  The
         # contract under test — SIGTERM -> emergency orbax state -> exit
         # 143 — is live as soon as the handler is installed.
-        deadline = time.time() + 900
+        deadline = time.time() + 2400
         while time.time() < deadline:
             if os.path.exists(record) and "armed" in open(record).read():
                 break
             if proc.poll() is not None:
-                raise AssertionError(proc.stderr.read()[-2000:])
+                raise AssertionError("CLI died before arming" + context())
             time.sleep(2)
         else:
-            raise AssertionError("training never armed the SIGTERM handler")
+            raise AssertionError("never armed the SIGTERM handler" + context())
         time.sleep(2)
         proc.send_signal(signal.SIGTERM)
-        # budget above the measured worst case: even on a cache miss the
-        # deferred handler fires once the in-flight compile returns
-        rc = proc.wait(timeout=1500)
+        # budget above the COLD-suite worst case: a TERM landing inside a
+        # cold in-suite XLA compile (>900 s measured; suite run #2 of round
+        # 3 still flaked at 1500 s budgets) defers the handler until the
+        # compile returns
+        rc = proc.wait(timeout=2400)
     finally:
         if proc.poll() is None:
             proc.kill()
-    assert rc == 143
-    assert os.path.exists(state_dir)
-    assert "emergency train state saved" in open(record).read()
+    assert rc == 143, f"exit {rc} != 143" + context()
+    assert os.path.exists(state_dir), "no emergency train state" + context()
+    assert "emergency train state saved" in open(record).read(), context()
 
 
 def test_valid_loads_dict_files(tmp_path):
