@@ -86,6 +86,7 @@ def build_cfg(args, smoke):
             use_pallas_attention=args.pallas and not smoke,
             kd_heads=args.train, kd_target_size=t_hidden,
             fuse_branches=args.fuse_branches,
+            hoist_text_kv=not args.no_kv_hoist,
         ),
         teacher_model=ModelConfig(
             hidden_size=t_hidden, num_attention_heads=t_heads,
@@ -93,6 +94,7 @@ def build_cfg(args, smoke):
             image_feat_size=feat, kd_heads=True, kd_target_size=hidden,
             use_pallas_attention=args.pallas_teacher and not smoke,
             fuse_branches=args.fuse_branches,
+            hoist_text_kv=not args.no_kv_hoist,
         ) if (args.train or args.pretrain) else None,
         env=EnvConfig(max_action_len=t_steps, max_gmap_len=max_gmap,
                       max_instr_len=txt_len,
@@ -155,6 +157,11 @@ def main():
     ap.add_argument("--fuse_branches", action="store_true", default=False,
                     help="vmapped branch-stacked cross-modal trunk (measured "
                          "dead end, -21%% eval; kept for A/B)")
+    ap.add_argument("--no_kv_hoist", action="store_true", default=False,
+                    help="A/B: disable the loop-invariant instruction K/V "
+                         "hoist (cross-attention K/V over the instruction "
+                         "recomputed every scan step instead of once per "
+                         "episode)")
     ap.add_argument("--parity", action="store_true", default=False,
                     help="observed-subgraph graph semantics (GraphMap parity)")
     ap.add_argument("--rxr", action="store_true", default=False,

@@ -154,6 +154,40 @@ def test_branch_fusion_matches_unfused(sprels, lang2visn):
                                    err_msg=f"branch fusion diverged on {key}")
 
 
+@pytest.mark.parametrize("lang2visn", [True, False])
+def test_text_kv_hoist_matches_inplace(lang2visn):
+    """Precomputed instruction K/V (``text_cross_kv`` -> ``navigation``'s
+    ``txt_cross_kvs``) must be bit-identical to the in-layer Dense path —
+    it is the same projection on the same values, hoisted out of the rollout
+    scan.  With lang2visn off every layer hoists; with it on only layer 0
+    (deeper layers read the updated lang stream)."""
+    cfg = ModelConfig(
+        vocab_size=200, hidden_size=64, num_attention_heads=4, num_l_layers=1,
+        num_pano_layers=1, num_x_layers=2, image_feat_size=32,
+        max_position_embeddings=64, use_lang2visn_attn=lang2visn)
+    m = DualScaleVLNBert(cfg)
+    batch = _randomized(dummy_step_batch(cfg, gmap_len=7, pano_len=5))
+    params = m.init(jax.random.PRNGKey(0), batch)
+    txt_embeds, _ = m.apply(params, batch["txt_ids"], batch["txt_masks"],
+                            method=DualScaleVLNBert.language)
+    nav_args = (txt_embeds, batch["txt_masks"], batch["gmap_img_embeds"],
+                batch["gmap_step_ids"], batch["gmap_pos_fts"],
+                batch["gmap_masks"], batch["gmap_visited_masks"],
+                batch["gmap_pair_dists"], batch["vp_img_embeds"],
+                batch["vp_pos_fts"], batch["vp_masks"], batch["vp_nav_masks"],
+                batch["gmap_local_slot"], batch["vp_cand_visited"])
+    o0 = m.apply(params, *nav_args, method=DualScaleVLNBert.navigation)
+    kv = m.apply(params, txt_embeds, method=DualScaleVLNBert.text_cross_kv)
+    n_hoisted = sum(x is not None for x in kv["global"])
+    assert n_hoisted == (1 if lang2visn else cfg.num_x_layers)
+    o1 = m.apply(params, *nav_args, txt_cross_kvs=kv,
+                 method=DualScaleVLNBert.navigation)
+    for key in ("gmap_embeds", "vp_embeds", "fused_logits", "cls_embeds"):
+        np.testing.assert_array_equal(
+            np.asarray(o0[key]), np.asarray(o1[key]),
+            err_msg=f"text K/V hoist diverged on {key}")
+
+
 def test_kd_heads_exist_and_project(model_and_params, small_cfg):
     model, params, batch = model_and_params
     outs = model.apply(params, batch)

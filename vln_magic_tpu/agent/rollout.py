@@ -902,7 +902,8 @@ class Rollout:
         return jax.tree_util.tree_map(lambda x: x.mean(0), outs)
 
     def _model_step(self, model, params, role, state, txt_embeds, txt_masks,
-                    rng, deterministic, zd=None, ensemble_n=1, shared=None):
+                    rng, deterministic, zd=None, ensemble_n=1, shared=None,
+                    txt_kv=None):
         """One model's per-step pipeline: pano forward -> gmap update ->
         input assembly -> navigation forward.  ``zd``: this role's
         intervention dictionaries (img backdoor + frontdoor features).
@@ -935,7 +936,8 @@ class Rollout:
             gmap["gmap_pair_dists"], vp["vp_img_embeds"], vp["vp_pos_fts"],
             vp["vp_masks"], vp["vp_nav_masks"], vp["gmap_local_slot"],
             vp["vp_cand_visited"], front_vp_feats=zd.get("front_vp_feats"),
-            front_gmap_feats=zd.get("front_gmap_feats"))
+            front_gmap_feats=zd.get("front_gmap_feats"),
+            txt_cross_kvs=txt_kv)
         outs.update({"pano_embeds": pano_embeds, "pano_fused_embeds": pano_fused,
                      "img_attns": img_attns})
         state = state.replace(mem={
@@ -1075,6 +1077,14 @@ class Rollout:
             front_txt_feats=s_zd.get("front_txt_feats"),
             deterministic=deterministic, rngs=rngs,
             method=type(model).language)
+        # loop-invariant instruction K/V hoisted out of the scan (layer-0
+        # cross attention; all layers when lang2visn is off) — the same
+        # Dense math, computed once per episode instead of once per step
+        # (ModelConfig.hoist_text_kv; docs/PERF.md lever #1's txt slice)
+        s_txt_kv = t_txt_kv = None
+        if self.cfg.hoist_text_kv and not self.cfg.fuse_branches:
+            s_txt_kv = model.apply(params, txt_embeds,
+                                   method=type(model).text_cross_kv)
         if kdl:
             t_zd = zd_for("teacher")
             t_txt_embeds, t_txt_attns = self.teacher_model.apply(
@@ -1083,6 +1093,10 @@ class Rollout:
                 front_txt_feats=t_zd.get("front_txt_feats"),
                 deterministic=deterministic, rngs=rngs,
                 method=type(self.teacher_model).language)
+            if self.t_cfg.hoist_text_kv and not self.t_cfg.fuse_branches:
+                t_txt_kv = self.teacher_model.apply(
+                    teacher_params, t_txt_embeds,
+                    method=type(self.teacher_model).text_cross_kv)
 
             def s_project(name, x):
                 return model.apply(params, name, x,
@@ -1124,7 +1138,8 @@ class Rollout:
             shared = (pano_shared, gmap_base, vp_base)
             state, gmap, outs = self._model_step(
                 model, params, "student", state, txt_embeds, txt_masks,
-                k_drop, deterministic, s_zd, ensemble_n, shared)
+                k_drop, deterministic, s_zd, ensemble_n, shared,
+                txt_kv=s_txt_kv)
             outs["txt_embeds"], outs["txt_attns"] = txt_embeds, txt_attns
             # policy logits per --fusion (parser.py:16): dynamic/avg use the
             # fused scores, global/local a single branch; 'local' switches
@@ -1136,7 +1151,7 @@ class Rollout:
                 state, t_gmap, t_outs = self._model_step(
                     self.teacher_model, teacher_params, "teacher", state,
                     t_txt_embeds, txt_masks, k_drop, deterministic, t_zd,
-                    1, shared)
+                    1, shared, txt_kv=t_txt_kv)
                 t_outs["txt_embeds"] = t_txt_embeds
                 t_outs["txt_attns"] = t_txt_attns
                 t_logits = t_outs[policy_logit_key]

@@ -56,6 +56,14 @@ class ModelConfig:
     # not dispatch-bound) and neutral on train (1,294 vs 1,321 ms);
     # docs/PERF.md decisions table.  Kept flag-gated for A/B.
     fuse_branches: bool = False
+    # hoist the layer-0 cross-attention K/V over the instruction out of the
+    # rollout scan: txt_embeds are loop-invariant, so the first cross layer's
+    # key/value projections (and their head-split relayout copies — the
+    # largest single slice of the profile's copy bucket, docs/PERF.md lever
+    # #1) are computed once per episode instead of once per step.  Math is
+    # bit-identical (the same Dense on the same values); deeper layers read
+    # the lang stream updated by lang2visn attention and stay in-scan.
+    hoist_text_kv: bool = True
     glocal_fuse: bool = True             # dynamic global/local fusion
     adaptive_pano_fusion: bool = True
     # which action scores drive the policy (parser.py:16):

@@ -40,14 +40,22 @@ class MultiHeadAttention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, q_input, kv_input, bias=None, deterministic=True):
+    def __call__(self, q_input, kv_input, bias=None, deterministic=True,
+                 precomputed_kv=None):
         d = self.hidden_size
         h = self.num_heads
         hd = d // h
         dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
         q = dense("query")(q_input)
-        k = dense("key")(kv_input)
-        v = dense("value")(kv_input)
+        if precomputed_kv is not None:
+            # loop-invariant K/V computed once outside a scan (the rollout's
+            # instruction stream; see ModelConfig.hoist_text_kv).  The
+            # key/value Dense params still exist — init always runs the
+            # dense path below — they are just not re-applied per step.
+            k, v = precomputed_kv
+        else:
+            k = dense("key")(kv_input)
+            v = dense("value")(kv_input)
 
         if (self.use_pallas and deterministic
                 and jax.default_backend() == "tpu"):
@@ -171,16 +179,18 @@ class CrossModalLayer(nn.Module):
 
     @nn.compact
     def __call__(self, visn, lang, visn_mask, lang_mask, self_bias=None,
-                 deterministic=True):
+                 deterministic=True, cross_kv=None):
         # ``self_bias``: additive [B, H, Lv, Lv] bias on the visual
         # self-attention (graph_sprels, or zeros from the branch-fused path)
+        # ``cross_kv``: precomputed (k, v) for the vis->lang cross attention
+        # (hoisted loop-invariant instruction K/V, ModelConfig.hoist_text_kv)
         lang_bias = mask_to_bias(lang_mask, self.dtype)
         visn_bias = mask_to_bias(visn_mask, self.dtype)
 
         x_out, x_probs = MultiHeadAttention(
             self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
             self.use_pallas, name="crossattention",
-        )(visn, lang, lang_bias, deterministic)
+        )(visn, lang, lang_bias, deterministic, precomputed_kv=cross_kv)
         visn = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
                        name="crossattention_norm")(visn, x_out, deterministic)
 

@@ -190,7 +190,11 @@ class CrossModalEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, visn, lang, visn_mask, lang_mask, pair_dists=None,
-                 deterministic=True, self_bias=None):
+                 deterministic=True, self_bias=None, cross_kvs=None):
+        # ``cross_kvs``: per-layer precomputed (k, v) for the vis->lang cross
+        # attention, or None entries for layers that must project in place
+        # (hoisted loop-invariant instruction K/V — layer 0 always; every
+        # layer when lang2visn is off and the lang stream never updates)
         c = self.cfg
         if self.sprels and pair_dists is not None:
             # distance -> per-head additive bias, matching DUET's sprel linear
@@ -207,7 +211,8 @@ class CrossModalEncoder(nn.Module):
                 c.hidden_dropout, c.attention_dropout, c.layer_norm_eps,
                 lang2visn=c.use_lang2visn_attn, dtype=self.dtype,
                 use_pallas=c.use_pallas_attention, name=f"layer_{i}",
-            )(visn, lang, visn_mask, lang_mask, self_bias, deterministic)
+            )(visn, lang, visn_mask, lang_mask, self_bias, deterministic,
+              cross_kv=cross_kvs[i] if cross_kvs is not None else None)
             attns.append(probs)
         return visn, jnp.stack(attns, axis=1)
 
@@ -312,11 +317,43 @@ class DualScaleVLNBert(nn.Module):
 
     # ----- mode: navigation (agent.py:964) -----
 
+    def text_cross_kv(self, txt_embeds):
+        """Precompute the cross-attention K/V over the instruction for every
+        cross layer whose lang input is loop-invariant: layer 0 always, all
+        ``num_x_layers`` when lang2visn is off (the lang stream then never
+        changes).  Returns ``{"global": [...], "local": [...]}`` of per-layer
+        ``(k, v)`` or ``None`` entries, consumable by ``navigation``'s
+        ``txt_cross_kvs``.  Bit-identical to the in-layer Dense: the same
+        kernels/biases are read from ``self.variables`` and applied with the
+        same dtype promotion ``nn.Dense`` uses."""
+        c = self.cfg
+        p = self.variables["params"]
+        n_hoist = 1 if c.use_lang2visn_attn else c.num_x_layers
+
+        def dense(x, dp):
+            return (x.astype(self.dtype) @ dp["kernel"].astype(self.dtype)
+                    + dp["bias"].astype(self.dtype))
+
+        out = {}
+        for branch, enc in (("global", "global_encoder"),
+                            ("local", "local_encoder")):
+            kvs = []
+            for i in range(c.num_x_layers):
+                if i < n_hoist:
+                    dp = p[enc][f"layer_{i}"]["crossattention"]
+                    kvs.append((dense(txt_embeds, dp["key"]),
+                                dense(txt_embeds, dp["value"])))
+                else:
+                    kvs.append(None)
+            out[branch] = kvs
+        return out
+
     def navigation(self, txt_embeds, txt_masks, gmap_img_embeds, gmap_step_ids,
                    gmap_pos_fts, gmap_masks, gmap_visited_masks, gmap_pair_dists,
                    vp_img_embeds, vp_pos_fts, vp_masks, vp_nav_masks,
                    gmap_local_slot, vp_cand_visited,
-                   front_vp_feats=None, front_gmap_feats=None, deterministic=True):
+                   front_vp_feats=None, front_gmap_feats=None, deterministic=True,
+                   txt_cross_kvs=None):
         """Dual-scale cross-modal forward + dynamic action fusion.
 
         gmap token layout: [stop], [mem], visited..., frontier...  (agent.py:199).
@@ -349,12 +386,14 @@ class DualScaleVLNBert(nn.Module):
                                         gmap_masks, vp_masks, txt_masks,
                                         gmap_pair_dists, deterministic)
         else:
+            kvs = txt_cross_kvs or {}
             gmap_embeds, gmap_attns = self.global_encoder(
                 gmap_embeds, txt_embeds, gmap_masks, txt_masks,
-                gmap_pair_dists, deterministic)
+                gmap_pair_dists, deterministic,
+                cross_kvs=kvs.get("global"))
             vp_embeds, vp_attns = self.local_encoder(
                 vp_embeds, txt_embeds, vp_masks, txt_masks, None,
-                deterministic)
+                deterministic, cross_kvs=kvs.get("local"))
             global_scores = self.global_sap_head(gmap_embeds)
             local_scores = self.local_sap_head(vp_embeds)
 
