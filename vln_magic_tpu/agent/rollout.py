@@ -404,7 +404,10 @@ class Rollout:
             [jnp.zeros((b, 1, d)), mem_embed[:, None, :], tok_embed], axis=1)
         return {**base, "gmap_img_embeds": img_embeds}
 
-    def assemble_gmap_base(self, state: EpisodeBatch):
+    def assemble_gmap_base(self, state: EpisodeBatch, ep=None):
+        """``ep``: per-episode world-table slices hoisted out of the scan by
+        ``run()`` (the [B, N, N] gathers on ``state.scan`` are episode
+        constants; gathering them per step cost ~2.5% of eval device time)."""
         t = self.t
         env = self.env
         b = state.batch_size
@@ -424,15 +427,34 @@ class Rollout:
         key = state.obs_order[:, :n] + jnp.where(eff_visited, 0, BIG)
         k = min(g - 2, n)
         token_node = jnp.argsort(key, axis=1)[:, :k].astype(jnp.int32)
-        token_valid = jnp.take_along_axis(observed, token_node, axis=1)
+        # ALL per-token row lookups ride one one-hot contraction (MXU): a
+        # take_along_axis with per-lane-varying indices scalarizes — the
+        # three gathers that used to live here (token_valid, visited_tok,
+        # step_ids) measured 23% of eval device time (x/profile round 3:
+        # pred[256,126]+s32[256,126] custom fusions at ~0.33 ms/step each).
+        # One-hot row sums select exactly one element, so the values are
+        # bit-identical to the gathers.
+        onehot_tok = jax.nn.one_hot(token_node, n, dtype=jnp.float32)
+        tokrow = lambda x: jnp.einsum("bgn,bn->bg", onehot_tok, x,
+                                      preferred_element_type=jnp.float32)
+        token_valid = tokrow(observed.astype(jnp.float32)) > 0.5
+        visited_tok = tokrow(eff_visited.astype(jnp.float32)) > 0.5
+        # step ids are small ints (<= max_action_len + 1): exact in f32
+        step_tok = tokrow(state.step_ids[:, :n].astype(jnp.float32)) \
+            .astype(jnp.int32)
         if k < g - 2:   # gmap budget exceeds scan size: pad with dead slots
             pad = g - 2 - k
             token_node = jnp.concatenate(
                 [token_node, jnp.zeros((b, pad), jnp.int32)], axis=1)
             token_valid = jnp.concatenate(
                 [token_valid, jnp.zeros((b, pad), bool)], axis=1)
+            visited_tok = jnp.concatenate(
+                [visited_tok, jnp.zeros((b, pad), bool)], axis=1)
+            step_tok = jnp.concatenate(
+                [step_tok, jnp.zeros((b, pad), jnp.int32)], axis=1)
+            onehot_tok = jnp.concatenate(
+                [onehot_tok, jnp.zeros((b, pad, n), jnp.float32)], axis=1)
 
-        visited_tok = jnp.take_along_axis(eff_visited, token_node, 1)
         gmap_masks = jnp.concatenate(
             [jnp.ones((b, 1), bool), jnp.zeros((b, 1), bool),  # [stop], [mem]
              token_valid], axis=1)
@@ -440,13 +462,11 @@ class Rollout:
             [jnp.zeros((b, 1), bool), jnp.ones((b, 1), bool),
              visited_tok & token_valid], axis=1)
         step_ids = jnp.concatenate(
-            [jnp.zeros((b, 2), jnp.int32),
-             jnp.take_along_axis(state.step_ids[:, :n], token_node, 1)], axis=1)
+            [jnp.zeros((b, 2), jnp.int32), step_tok], axis=1)
 
-        # one-hot matmul gathers (see pair_dists note below): token lookups
-        # ride the MXU instead of serializing
-        onehot = jax.nn.one_hot(jnp.where(token_valid, token_node, -1), n,
-                                dtype=jnp.float32)            # [B, G-2, N]
+        # invalid tokens zeroed for every downstream embedding/geometry
+        # contraction (was a second one_hot over where(valid, node, -1))
+        onehot = onehot_tok * token_valid[..., None].astype(jnp.float32)
 
         cur_pos = t.positions[state.scan, state.cur]          # [B, 3]
         pos_b = t.positions[state.scan]                       # [B, N, 3]
@@ -482,7 +502,12 @@ class Rollout:
         # TPU point/row gathers of short rows serialize and dominated the
         # whole rollout (2.2x); the one-hot matmul formulation keeps the
         # lookup on the MXU: onehot(tok) @ dist[scan] @ onehot(tok)^T.
-        dist_b = state.obs_dist if parity else t.dist[state.scan]
+        if parity:
+            dist_b = state.obs_dist
+        elif ep is not None:
+            dist_b = ep["dist_f"]
+        else:
+            dist_b = t.dist[state.scan]
         rows = jnp.einsum("bgn,bnm->bgm", onehot, dist_b,
                           preferred_element_type=jnp.float32)
         pair = jnp.einsum("bgm,bhm->bgh", rows, onehot,
@@ -577,7 +602,7 @@ class Rollout:
     # ------------------------------------------------------------------
 
     def teacher_action_local(self, state: EpisodeBatch, pano, t_step: int,
-                             imitation):
+                             imitation, ep=None):
         """Supervision in the LOCAL (viewpoint-branch) action space for
         ``fusion='local'``: slots are [stop],[mem],candidates... — the gt
         next hop / spl-expert candidate index instead of a gmap token
@@ -597,7 +622,7 @@ class Rollout:
                              jnp.where(eq.any(axis=1), idx, env.ignore_id))
 
         def expert():
-            dists = self.t.dist[state.scan]
+            dists = ep["dist_f"] if ep is not None else self.t.dist[state.scan]
             safe = jnp.maximum(cand_ids, 0)
             d_cur = jnp.take_along_axis(dists[jnp.arange(b), state.cur],
                                         safe, 1)
@@ -631,7 +656,7 @@ class Rollout:
         return jnp.where(stop, 0,
                          jnp.where(eq.any(axis=1), idx, self.env.ignore_id))
 
-    def _teacher_action_expert(self, state: EpisodeBatch, gmap):
+    def _teacher_action_expert(self, state: EpisodeBatch, gmap, ep=None):
         """DAgger expert action in the gmap action space (agent.py:350-366)."""
         env = self.env
         b = state.batch_size
@@ -642,12 +667,12 @@ class Rollout:
         if env.expert_policy == "ndtw":
             # expert: max nDTW of (trajectory-so-far + shortest path to
             # the candidate) against the gt path (agent.py:357-363)
-            ndtw = self._ndtw_scores(state, gmap)
+            ndtw = self._ndtw_scores(state, gmap, ep=ep)
             cost = jnp.where(eligible, -ndtw, jnp.inf)
         else:
             # spl expert: min dist(cur -> node) + dist(node -> goal)
             # (agent.py:364-366)
-            dists = self.t.dist[state.scan]
+            dists = ep["dist_f"] if ep is not None else self.t.dist[state.scan]
             d_cur = jnp.take_along_axis(dists[jnp.arange(b), state.cur],
                                         token_node, 1)
             d_goal = dists[jnp.arange(b)[:, None], token_node,
@@ -658,22 +683,22 @@ class Rollout:
         return jnp.where(stop, 0, best)
 
     def teacher_action(self, state: EpisodeBatch, gmap, t_step: int,
-                       imitation):
+                       imitation, ep=None):
         """``imitation``: python bool (whole batch) or a [B] bool array —
         the fused dual-rollout step supervises the teacher-forced half with
         gt next hops and the DAgger half with the expert in ONE call."""
         env = self.env
         if isinstance(imitation, bool):
             a = (self._teacher_action_imitation(state, gmap, t_step)
-                 if imitation else self._teacher_action_expert(state, gmap))
+                 if imitation else self._teacher_action_expert(state, gmap, ep))
         else:
             a = jnp.where(imitation,
                           self._teacher_action_imitation(state, gmap, t_step),
-                          self._teacher_action_expert(state, gmap))
+                          self._teacher_action_expert(state, gmap, ep))
         return jnp.where(state.ended, env.ignore_id, a)
 
     def _ndtw_scores(self, state: EpisodeBatch, gmap, k_ext: int = 16,
-                     lp: int = 48):
+                     lp: int = 48, ep=None):
         """Vectorized on-device nDTW of each candidate's hypothetical
         trajectory (executed trajectory + shortest-path extension to the
         candidate) against the gt path — the reference computes this per
@@ -710,7 +735,7 @@ class Rollout:
 
         gt = jnp.maximum(state.gt_path, 0)
         tg = gt.shape[1]
-        dist = t.dist[state.scan]
+        dist = ep["dist_f"] if ep is not None else t.dist[state.scan]
         cost = dist[bi[:, None, None, None], pred[..., None],
                     gt[:, None, None, :]]                  # [B, G, L, TG]
 
@@ -746,7 +771,7 @@ class Rollout:
 
     def transition(self, state: EpisodeBatch, gmap, action, stop_prob,
                    t_step: int, feedback: str, pano=None,
-                   local_actions: bool = False, is_tf=None):
+                   local_actions: bool = False, is_tf=None, ep=None):
         t = self.t
         env = self.env
         b = state.batch_size
@@ -821,7 +846,8 @@ class Rollout:
                               preferred_element_type=jnp.float32)
             wt = self._observed_walk_tables(state)
         else:
-            nh_b = t.next_hop[state.scan].astype(jnp.float32)  # [B, N, N]
+            nh_b = (ep["nh_f"] if ep is not None and "nh_f" in ep
+                    else t.next_hop[state.scan].astype(jnp.float32))  # [B,N,N]
             col = jnp.einsum("bnm,bm->bn", nh_b, onehot_tgt,
                              preferred_element_type=jnp.float32)
 
@@ -1118,6 +1144,14 @@ class Rollout:
                     ab_w_static = grad_softmax_weights(
                         jnp.asarray(ability_grads), distill.rw_temp)
 
+        # per-episode world-table slices hoisted out of the scan: gathers on
+        # ``state.scan`` are episode constants, and leaving them in the step
+        # re-gathers [B, N, N] tables every iteration (the next_hop gather
+        # alone measured 46 ms / 16-iter eval run, x/profile round 3)
+        ep = {"dist_f": self.t.dist[state.scan]}
+        if not self.env.observed_graph_parity:
+            ep["nh_f"] = self.t.next_hop[state.scan].astype(jnp.float32)
+
         def step_fn(carry, t_step):
             state, rng, ml_loss, t_ml_loss, kd_acc, t_kd_acc = carry
             rng, k_drop, k_act, k_rw = jax.random.split(rng, 4)
@@ -1133,7 +1167,7 @@ class Rollout:
                 jnp.where(live0, t_step + 1,
                           state.step_ids[bi_, trash0])))
             pano_shared = self.assemble_pano(state)
-            gmap_base = self.assemble_gmap_base(state)
+            gmap_base = self.assemble_gmap_base(state, ep)
             vp_base = self.assemble_vp_base(state, pano_shared, gmap_base)
             shared = (pano_shared, gmap_base, vp_base)
             state, gmap, outs = self._model_step(
@@ -1163,10 +1197,11 @@ class Rollout:
                              else feedback == "teacher")
                 if local_acts:
                     nav_targets = self.teacher_action_local(
-                        state, pano_shared, t_step, imitation=imitation)
+                        state, pano_shared, t_step, imitation=imitation,
+                        ep=ep)
                 else:
                     nav_targets = self.teacher_action(
-                        state, gmap, t_step, imitation=imitation)
+                        state, gmap, t_step, imitation=imitation, ep=ep)
                 valid = nav_targets != self.env.ignore_id
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 tgt = jnp.maximum(nav_targets, 0)
@@ -1274,7 +1309,7 @@ class Rollout:
             state, chosen, just_ended = self.transition(
                 state, gmap, a, stop_prob, t_step, feedback,
                 pano=pano_shared, local_actions=local_acts,
-                is_tf=(jnp.asarray(is_tf) if fused else None))
+                is_tf=(jnp.asarray(is_tf) if fused else None), ep=ep)
             rec["chosen"] = chosen
             if train_rl:
                 d_after = self.t.dist[state.scan, state.cur, state.goal]
