@@ -52,6 +52,9 @@ class MultiHeadAttention(nn.Module):
             # instruction stream; see ModelConfig.hoist_text_kv).  The
             # key/value Dense params still exist — init always runs the
             # dense path below — they are just not re-applied per step.
+            # Arrives either packed [B, L, d] or already head-split
+            # [B, L, H, hd] (text_cross_kv splits at hoist time so the
+            # per-step relayout copy disappears from the scan body).
             k, v = precomputed_kv
         else:
             k = dense("key")(kv_input)
@@ -69,6 +72,9 @@ class MultiHeadAttention(nn.Module):
             # that XLA DCEs along with the zeros returned in their place.
             from ..ops.attention import packed_attention
 
+            if k.ndim == 4:     # hoisted pre-split K/V: kernel wants packed
+                k = k.reshape(k.shape[0], k.shape[1], d)
+                v = v.reshape(v.shape[0], v.shape[1], d)
             b, lq = q.shape[0], q.shape[1]
             lk = k.shape[1]
             if bias is None:
@@ -91,8 +97,9 @@ class MultiHeadAttention(nn.Module):
         # axis — explicit (0,2,1,3) transposes materialized as per-step
         # layout copies inside the rollout scan (the profile's copy bucket)
         q = q.reshape(q.shape[:-1] + (h, hd))
-        k = k.reshape(k.shape[:-1] + (h, hd))
-        v = v.reshape(v.shape[:-1] + (h, hd))
+        if k.ndim == 3:          # hoisted K/V arrives pre-split
+            k = k.reshape(k.shape[:-1] + (h, hd))
+            v = v.reshape(v.shape[:-1] + (h, hd))
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
         if bias is not None:
             scores = scores + bias.astype(scores.dtype)

@@ -329,10 +329,17 @@ class DualScaleVLNBert(nn.Module):
         c = self.cfg
         p = self.variables["params"]
         n_hoist = 1 if c.use_lang2visn_attn else c.num_x_layers
+        h = c.num_attention_heads
+        hd = c.hidden_size // h
 
         def dense(x, dp):
-            return (x.astype(self.dtype) @ dp["kernel"].astype(self.dtype)
-                    + dp["bias"].astype(self.dtype))
+            y = (x.astype(self.dtype) @ dp["kernel"].astype(self.dtype)
+                 + dp["bias"].astype(self.dtype))
+            # head-split HERE so the [B, L, H, hd] relayout happens once at
+            # hoist time; left packed, every scan step re-laid the buffer
+            # for the attention einsum (the profile's largest copy shape,
+            # bf16[B, 200, 2, 64], docs/PERF.md)
+            return y.reshape(y.shape[:-1] + (h, hd))
 
         out = {}
         for branch, enc in (("global", "global_encoder"),
