@@ -87,6 +87,8 @@ def build_cfg(args, smoke):
             kd_heads=args.train, kd_target_size=t_hidden,
             fuse_branches=args.fuse_branches,
             hoist_text_kv=not args.no_kv_hoist,
+            gelu_approximate=args.gelu_tanh,
+            softmax_compute_dtype_attn=args.softmax_bf16,
         ),
         teacher_model=ModelConfig(
             hidden_size=t_hidden, num_attention_heads=t_heads,
@@ -95,6 +97,8 @@ def build_cfg(args, smoke):
             use_pallas_attention=args.pallas_teacher and not smoke,
             fuse_branches=args.fuse_branches,
             hoist_text_kv=not args.no_kv_hoist,
+            gelu_approximate=args.gelu_tanh,
+            softmax_compute_dtype_attn=args.softmax_bf16,
         ) if (args.train or args.pretrain) else None,
         env=EnvConfig(max_action_len=t_steps, max_gmap_len=max_gmap,
                       max_instr_len=txt_len,
@@ -157,6 +161,15 @@ def main():
     ap.add_argument("--fuse_branches", action="store_true", default=False,
                     help="vmapped branch-stacked cross-modal trunk (measured "
                          "dead end, -21%% eval; kept for A/B)")
+    ap.add_argument("--gelu_tanh", action="store_true", default=False,
+                    help="A/B: tanh-approximate gelu in the FFNs instead of "
+                         "exact erf (the erf polynomial measured ~11%% of "
+                         "eval device time; tanh error sits at bf16 "
+                         "resolution but deviates from BERT parity)")
+    ap.add_argument("--softmax_bf16", action="store_true", default=False,
+                    help="A/B: attention softmax in the compute dtype "
+                         "instead of f32 (the f32 convert+reduce pairs "
+                         "measured 16%% of eval device time)")
     ap.add_argument("--no_kv_hoist", action="store_true", default=False,
                     help="A/B: disable the loop-invariant instruction K/V "
                          "hoist (cross-attention K/V over the instruction "

@@ -84,6 +84,17 @@ class ModelConfig:
 
     # Pallas fused-attention kernel (TPU inference/eval path)
     use_pallas_attention: bool = False
+    # tanh-approximate gelu in the FFNs: the exact-erf polynomial measured
+    # ~11% of eval device time in the rollout scan (docs/PERF.md round 3).
+    # Default False = exact BERT/reference parity; True is an opt-in speed
+    # knob whose error (<~3e-3 absolute) sits at bf16 resolution —
+    # measured +21% eval throughput (30.0k -> 36.4k steps/s)
+    gelu_approximate: bool = False
+    # attention softmax in the compute dtype instead of f32: the f32
+    # convert+reduce pairs measured 16% of eval device time.  Default False
+    # = f32 softmax (torch-parity numerics); True is the matching opt-in
+    # speed knob for serving
+    softmax_compute_dtype_attn: bool = False
 
     # knowledge-distillation heads (student role projects to teacher width)
     kd_heads: bool = False

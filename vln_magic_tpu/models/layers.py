@@ -38,6 +38,10 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # f32 softmax is the torch-parity default; computing it in the compute
+    # dtype (bf16) drops the convert+reduce pairs that measured 16% of eval
+    # device time (opt-in: ModelConfig.softmax_compute_dtype_attn)
+    softmax_in_dtype: bool = False
 
     @nn.compact
     def __call__(self, q_input, kv_input, bias=None, deterministic=True,
@@ -103,7 +107,11 @@ class MultiHeadAttention(nn.Module):
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
         if bias is not None:
             scores = scores + bias.astype(scores.dtype)
-        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.softmax_in_dtype:
+            probs = nn.softmax(scores, axis=-1)
+        else:
+            probs = nn.softmax(scores.astype(jnp.float32),
+                               axis=-1).astype(self.dtype)
         probs_drop = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs_drop, v)
         ctx = ctx.reshape(ctx.shape[0], ctx.shape[1], d)
@@ -127,11 +135,17 @@ class FeedForward(nn.Module):
     hidden_size: int
     intermediate_size: int
     dtype: jnp.dtype = jnp.float32
+    # exact-erf gelu is the BERT/reference-parity default; the erf polynomial
+    # alone measured ~230 µs/step/layer on the in-scan gmap-branch FFN (~11%
+    # of eval device time, docs/PERF.md round-3 profile).  The tanh
+    # approximation differs by <~3e-3 absolute — around bf16 resolution —
+    # and is an opt-in speed knob (ModelConfig.gelu_approximate)
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.intermediate_size, dtype=self.dtype, name="intermediate")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         return nn.Dense(self.hidden_size, dtype=self.dtype, name="output")(x)
 
 
@@ -146,6 +160,8 @@ class TransformerLayer(nn.Module):
     eps: float = 1e-12
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    gelu_approx: bool = False
+    softmax_in_dtype: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, bias=None, deterministic=True):
@@ -156,12 +172,12 @@ class TransformerLayer(nn.Module):
             attn_bias = bias if attn_bias is None else attn_bias + bias
         attn_out, probs = MultiHeadAttention(
             self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
-            self.use_pallas, name="attention",
+            self.use_pallas, self.softmax_in_dtype, name="attention",
         )(x, x, attn_bias, deterministic)
         x = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
                     name="attention_norm")(x, attn_out, deterministic)
         ff = FeedForward(self.hidden_size, self.intermediate_size, self.dtype,
-                         name="ffn")(x)
+                         self.gelu_approx, name="ffn")(x)
         x = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
                     name="ffn_norm")(x, ff, deterministic)
         return x, probs
@@ -183,6 +199,8 @@ class CrossModalLayer(nn.Module):
     lang2visn: bool = True
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    gelu_approx: bool = False
+    softmax_in_dtype: bool = False
 
     @nn.compact
     def __call__(self, visn, lang, visn_mask, lang_mask, self_bias=None,
@@ -196,7 +214,7 @@ class CrossModalLayer(nn.Module):
 
         x_out, x_probs = MultiHeadAttention(
             self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
-            self.use_pallas, name="crossattention",
+            self.use_pallas, self.softmax_in_dtype, name="crossattention",
         )(visn, lang, lang_bias, deterministic, precomputed_kv=cross_kv)
         visn = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
                        name="crossattention_norm")(visn, x_out, deterministic)
@@ -204,6 +222,7 @@ class CrossModalLayer(nn.Module):
         if self.lang2visn:
             l_out, _ = MultiHeadAttention(
                 self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
+                softmax_in_dtype=self.softmax_in_dtype,
                 name="lang2visn_attention",
             )(lang, visn, visn_bias, deterministic)
             lang = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
@@ -214,13 +233,13 @@ class CrossModalLayer(nn.Module):
             self_attn_bias = self_attn_bias + self_bias
         s_out, _ = MultiHeadAttention(
             self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
-            self.use_pallas, name="self_attention",
+            self.use_pallas, self.softmax_in_dtype, name="self_attention",
         )(visn, visn, self_attn_bias, deterministic)
         visn = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
                        name="self_norm")(visn, s_out, deterministic)
 
         ff = FeedForward(self.hidden_size, self.intermediate_size, self.dtype,
-                         name="ffn")(visn)
+                         self.gelu_approx, name="ffn")(visn)
         visn = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
                        name="ffn_norm")(visn, ff, deterministic)
         return visn, lang, x_probs

@@ -65,6 +65,8 @@ class LanguageEncoder(nn.Module):
                 c.hidden_size, c.num_attention_heads, c.intermediate_size,
                 c.hidden_dropout, c.attention_dropout, c.layer_norm_eps,
                 dtype=self.dtype, use_pallas=c.use_pallas_attention,
+                gelu_approx=c.gelu_approximate,
+                softmax_in_dtype=c.softmax_compute_dtype_attn,
                 name=f"layer_{i}")
             for i in range(c.num_l_layers)
         ]
@@ -162,6 +164,8 @@ class PanoEncoder(nn.Module):
                 c.hidden_size, c.num_attention_heads, c.intermediate_size,
                 c.hidden_dropout, c.attention_dropout, c.layer_norm_eps,
                 dtype=self.dtype, use_pallas=c.use_pallas_attention,
+                gelu_approx=c.gelu_approximate,
+                softmax_in_dtype=c.softmax_compute_dtype_attn,
                 name=f"layer_{i}",
             )(x, pano_masks, deterministic=deterministic)
             attns.append(probs)
@@ -210,7 +214,10 @@ class CrossModalEncoder(nn.Module):
                 c.hidden_size, c.num_attention_heads, c.intermediate_size,
                 c.hidden_dropout, c.attention_dropout, c.layer_norm_eps,
                 lang2visn=c.use_lang2visn_attn, dtype=self.dtype,
-                use_pallas=c.use_pallas_attention, name=f"layer_{i}",
+                use_pallas=c.use_pallas_attention,
+                gelu_approx=c.gelu_approximate,
+                softmax_in_dtype=c.softmax_compute_dtype_attn,
+                name=f"layer_{i}",
             )(visn, lang, visn_mask, lang_mask, self_bias, deterministic,
               cross_kv=cross_kvs[i] if cross_kvs is not None else None)
             attns.append(probs)
