@@ -277,7 +277,17 @@ def _observe(state: EpisodeBatch, tables: Tables) -> EpisodeBatch:
             tgt = jnp.where(new, idx, trash)
             obs_order = obs_order.at[bi, tgt].min(obs_count)
             return obs_order, obs_count + new.astype(jnp.int32)
-        new = valid & (jnp.take_along_axis(obs_order, idx, axis=1) == UNOBS)
+        # one-hot row-sum instead of take_along_axis: per-lane-varying
+        # gather indices scalarize on TPU (docs/PERF.md round 3).
+        # precision=HIGHEST is REQUIRED for exactness of the picked VALUES:
+        # the default TPU matmul precision rounds f32 operands through bf16
+        # passes, and bf16(UNOBS=2e6) != 2e6 — the == comparison below
+        # silently broke observation dedup before this was pinned
+        oh = jax.nn.one_hot(idx, obs_order.shape[1], dtype=jnp.float32)
+        picked = jnp.einsum("bcn,bn->bc", oh, obs_order.astype(jnp.float32),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        new = valid & (picked == np.float32(UNOBS))
         rank = jnp.cumsum(new.astype(jnp.int32), axis=1) - new.astype(jnp.int32)
         order = obs_count[:, None] + rank
         tgt = jnp.where(new, idx, trash)
@@ -371,13 +381,17 @@ class Rollout:
         es = es.at[bi, cur_t].set(pano_fused)   # trash slot absorbs ended rows
         ec = ec.at[bi, cur_t].set(1.0)
 
-        cand_visited = jnp.take_along_axis(
-            state.visited, jnp.maximum(cand_ids, 0), axis=1)
+        # candidate visited flags via the one-hot the scatter-add needs
+        # anyway (take_along_axis scalarizes, docs/PERF.md round 3)
+        oh0 = jax.nn.one_hot(jnp.maximum(cand_ids, 0), es.shape[1],
+                             dtype=jnp.float32)                  # [B, C, N+1]
+        cand_visited = jnp.einsum(
+            "bcn,bn->bc", oh0, state.visited.astype(jnp.float32),
+            preferred_element_type=jnp.float32) > 0.5
         upd = cand_mask & ~cand_visited & live[:, None]
         # scatter-add as a one-hot matmul (MXU) — C-row scatters serialize
         cand_emb = pano_embeds[:, : cand_ids.shape[1]]
-        onehot = jax.nn.one_hot(jnp.where(upd, cand_ids, -1),
-                                es.shape[1], dtype=jnp.float32)  # [B, C, N+1]
+        onehot = oh0 * upd[..., None].astype(jnp.float32)
         es = es + jnp.einsum("bcn,bcd->bnd", onehot, cand_emb,
                              preferred_element_type=jnp.float32)
         ec = ec + onehot.sum(axis=1)
@@ -468,12 +482,14 @@ class Rollout:
         # contraction (was a second one_hot over where(valid, node, -1))
         onehot = onehot_tok * token_valid[..., None].astype(jnp.float32)
 
-        cur_pos = t.positions[state.scan, state.cur]          # [B, 3]
-        pos_b = t.positions[state.scan]                       # [B, N, 3]
-        tok_pos = jnp.einsum("bgn,bnd->bgd", onehot, pos_b,
-                             preferred_element_type=jnp.float32)
+        pos_b = ep["pos"] if ep is not None else t.positions[state.scan]
         parity = self.env.observed_graph_parity
         onehot_cur = jax.nn.one_hot(state.cur, n, dtype=jnp.float32)
+        cur_pos = jnp.einsum("bn,bnd->bd", onehot_cur, pos_b,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # [B, 3]
+        tok_pos = jnp.einsum("bgn,bnd->bgd", onehot, pos_b,
+                             preferred_element_type=jnp.float32)
         if parity:
             dist_row = jnp.einsum("bn,bnm->bm", onehot_cur, state.obs_dist,
                                   preferred_element_type=jnp.float32)
@@ -534,33 +550,54 @@ class Rollout:
         base = base or self.assemble_vp_base(state, pano, gmap)
         return {**base, "vp_img_embeds": vp_img_embeds}
 
-    def assemble_vp_base(self, state: EpisodeBatch, pano, gmap):
+    def assemble_vp_base(self, state: EpisodeBatch, pano, gmap, ep=None):
         t = self.t
         b = state.batch_size
+        n = t.node_mask.shape[1]
         cand_ids, cand_mask = pano["cand_ids"], pano["cand_mask"]
 
-        cur_pos = t.positions[state.scan, state.cur]
-        start_pos = t.positions[state.scan, state.start]
+        # all node lookups as one-hot contractions (take_along_axis and
+        # point gathers scalarize, docs/PERF.md round 3); positions ride the
+        # hoisted per-episode table when run() provides it.
+        # precision=HIGHEST keeps the selected VALUES exactly f32 — the
+        # default TPU matmul precision rounds operands through bf16, which
+        # would perturb geometry that the original gathers fetched exactly
+        hi = jax.lax.Precision.HIGHEST
+        pos_b = ep["pos"] if ep is not None else t.positions[state.scan]
+        oh_cur = jax.nn.one_hot(state.cur, n, dtype=jnp.float32)
+        oh_start = jax.nn.one_hot(state.start, n, dtype=jnp.float32)
+        row3 = lambda oh: jnp.einsum("bn,bnd->bd", oh, pos_b,
+                                     preferred_element_type=jnp.float32,
+                                     precision=hi)
+        cur_pos = row3(oh_cur)
+        start_pos = row3(oh_start)
         if self.env.observed_graph_parity:
-            n = t.node_mask.shape[1]
-            oc = jax.nn.one_hot(state.cur, n, dtype=jnp.float32)
-            dist_row = jnp.einsum("bn,bnm->bm", oc, state.obs_dist,
+            dist_row = jnp.einsum("bn,bnm->bm", oh_cur, state.obs_dist,
                                   preferred_element_type=jnp.float32)
-            steps_row = jnp.einsum("bn,bnm->bm", oc, state.obs_steps,
+            steps_row = jnp.einsum("bn,bnm->bm", oh_cur, state.obs_steps,
                                    preferred_element_type=jnp.float32)
         else:
             dist_row = t.dist[state.scan, state.cur]
             steps_row = t.steps[state.scan, state.cur].astype(jnp.float32)
+        pick = lambda row, oh: jnp.einsum("bn,bn->b", oh, row,
+                                          preferred_element_type=jnp.float32,
+                                          precision=hi)
         start7 = gj.pos_features_7(
             cur_pos[:, None, :], start_pos[:, None, :],
-            dist_row[jnp.arange(b), state.start][:, None],
-            steps_row[jnp.arange(b), state.start][:, None],
+            pick(dist_row, oh_start)[:, None],
+            pick(steps_row, oh_start)[:, None],
             state.heading, state.elevation, self.cfg.angle_feat_size)[:, 0]
 
         cand_safe = jnp.maximum(cand_ids, 0)
-        cand_pos = t.positions[state.scan[:, None], cand_safe]
-        cdist = jnp.take_along_axis(dist_row, cand_safe, 1)
-        csteps = jnp.take_along_axis(steps_row, cand_safe, 1)
+        oh_cand = jax.nn.one_hot(cand_safe, n, dtype=jnp.float32)  # [B, C, N]
+        crow = lambda row: jnp.einsum("bcn,bn->bc", oh_cand, row,
+                                      preferred_element_type=jnp.float32,
+                                      precision=hi)
+        cand_pos = jnp.einsum("bcn,bnd->bcd", oh_cand, pos_b,
+                              preferred_element_type=jnp.float32,
+                              precision=hi)
+        cdist = crow(dist_row)
+        csteps = crow(steps_row)
         cand7 = gj.pos_features_7(cur_pos[:, None, :], cand_pos, cdist, csteps,
                                   state.heading, state.elevation,
                                   self.cfg.angle_feat_size)
@@ -585,7 +622,8 @@ class Rollout:
         gmap_local_slot = jnp.concatenate(
             [jnp.full((b, 2), -1, jnp.int32), slot], axis=1)
 
-        cand_visited = jnp.take_along_axis(state.visited, cand_safe, 1) & cand_mask
+        cand_visited = (crow(state.visited[:, :n].astype(jnp.float32)) > 0.5) \
+            & cand_mask
         vp_cand_visited = jnp.concatenate(
             [jnp.zeros((b, 2)), cand_visited.astype(jnp.float32),
              jnp.zeros((b, 36))], axis=1)
@@ -884,10 +922,16 @@ class Rollout:
 
         cand_ids_prev = t.cand_ids[state.scan, prev]
         eq = cand_ids_prev == target[:, None]
-        view = jnp.take_along_axis(
-            t.cand_view[state.scan, prev],
-            eq.argmax(axis=1)[:, None], 1)[:, 0]
+        # first matching candidate's view without an argmax+gather (per-lane
+        # indices scalarize): first-True mask + masked sum, identical
+        # tie-breaking (argmax returns the first maximal element)
+        first = eq & (jnp.cumsum(eq.astype(jnp.int32), axis=1) == 1)
+        view_row = t.cand_view[state.scan, prev]
+        view = jnp.sum(jnp.where(first, view_row, 0), axis=1)
         has_edge = eq.any(axis=1)
+        # no match: argmax picked slot 0 — reproduce that value exactly
+        # (it is unused downstream: has_edge gates the heading update)
+        view = jnp.where(has_edge, view, view_row[:, 0])
         new_heading = jnp.where(
             moving & has_edge, (view % 12) * (jnp.pi / 6), state.heading)
         new_elevation = jnp.where(
@@ -1148,7 +1192,8 @@ class Rollout:
         # ``state.scan`` are episode constants, and leaving them in the step
         # re-gathers [B, N, N] tables every iteration (the next_hop gather
         # alone measured 46 ms / 16-iter eval run, x/profile round 3)
-        ep = {"dist_f": self.t.dist[state.scan]}
+        ep = {"dist_f": self.t.dist[state.scan],
+              "pos": self.t.positions[state.scan]}
         if not self.env.observed_graph_parity:
             ep["nh_f"] = self.t.next_hop[state.scan].astype(jnp.float32)
 
@@ -1168,7 +1213,7 @@ class Rollout:
                           state.step_ids[bi_, trash0])))
             pano_shared = self.assemble_pano(state)
             gmap_base = self.assemble_gmap_base(state, ep)
-            vp_base = self.assemble_vp_base(state, pano_shared, gmap_base)
+            vp_base = self.assemble_vp_base(state, pano_shared, gmap_base, ep)
             shared = (pano_shared, gmap_base, vp_base)
             state, gmap, outs = self._model_step(
                 model, params, "student", state, txt_embeds, txt_masks,

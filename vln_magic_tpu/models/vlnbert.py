@@ -148,8 +148,12 @@ class PanoEncoder(nn.Module):
             nn.Dense(c.hidden_size, dtype=self.dtype, name="img_proj")(view_img_fts))
         loc = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="loc_norm")(
             nn.Dense(c.hidden_size, dtype=self.dtype, name="loc_proj")(loc_fts))
-        typ = nn.Embed(3, c.hidden_size, dtype=self.dtype, name="nav_type_embedding")(
-            nav_types)
+        typ_mod = nn.Embed(3, c.hidden_size, dtype=self.dtype,
+                           name="nav_type_embedding")
+        # one-hot matmul instead of the embedding gather (in-scan gathers
+        # scalarize; bit-identical — see the step-id embedding note below)
+        typ = jax.nn.one_hot(nav_types, 3, dtype=self.dtype) \
+            @ typ_mod.embedding.astype(self.dtype)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="fuse_norm")(
             img + loc + typ)
         x = nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
@@ -380,9 +384,16 @@ class DualScaleVLNBert(nn.Module):
         """
         c = self.cfg
 
+        # step-id embedding as a one-hot matmul: an embedding gather with
+        # per-lane-varying ids scalarizes inside the rollout scan (~65 µs/
+        # step, docs/PERF.md round 3); the [G, S]x[S, D] one-hot dot is
+        # bit-identical (single-nonzero rows) and rides the MXU
+        step_tbl = self.gmap_step_embedding.embedding.astype(self.dtype)
+        step_emb = jax.nn.one_hot(gmap_step_ids, step_tbl.shape[0],
+                                  dtype=self.dtype) @ step_tbl
         gmap_embeds = self.gmap_input_norm(
             gmap_img_embeds
-            + self.gmap_step_embedding(gmap_step_ids)
+            + step_emb
             + self.gmap_pos_proj(gmap_pos_fts))
         if c.do_front_his and front_gmap_feats is not None:
             gmap_embeds = self.gmap_frontdoor(gmap_embeds, front_gmap_feats, None,
