@@ -188,6 +188,32 @@ def test_text_kv_hoist_matches_inplace(lang2visn):
             err_msg=f"text K/V hoist diverged on {key}")
 
 
+def test_serving_knobs_stay_close():
+    """The opt-in speed knobs (tanh gelu, in-dtype softmax) must keep
+    outputs within approximation tolerance of the exact-parity defaults —
+    they are serving knobs, not different models."""
+    from dataclasses import replace
+
+    base = ModelConfig(
+        vocab_size=200, hidden_size=64, num_attention_heads=4, num_l_layers=1,
+        num_pano_layers=1, num_x_layers=2, image_feat_size=32,
+        max_position_embeddings=64)
+    fast = replace(base, gelu_approximate=True,
+                   softmax_compute_dtype_attn=True)
+    m0, m1 = DualScaleVLNBert(base), DualScaleVLNBert(fast)
+    batch = _randomized(dummy_step_batch(base, gmap_len=7, pano_len=5))
+    params = m0.init(jax.random.PRNGKey(0), batch)
+    o0, o1 = m0.apply(params, batch), m1.apply(params, batch)
+    for key in ("cls_embeds", "gmap_embeds", "vp_embeds"):
+        np.testing.assert_allclose(
+            np.asarray(o0[key]), np.asarray(o1[key]), atol=5e-2,
+            err_msg=f"serving knobs drifted too far on {key}")
+    # valid action logits agree to approximation tolerance
+    a, b = np.asarray(o0["fused_logits"]), np.asarray(o1["fused_logits"])
+    mask = a > -1e8
+    np.testing.assert_allclose(a[mask], b[mask], atol=5e-2)
+
+
 def test_kd_heads_exist_and_project(model_and_params, small_cfg):
     model, params, batch = model_and_params
     outs = model.apply(params, batch)
