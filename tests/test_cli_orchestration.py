@@ -140,28 +140,35 @@ def test_sigterm_writes_emergency_state(tmp_path):
         return f"\n-- record tail --\n{rec}\n-- stderr tail --\n{err}"
 
     try:
-        # Gate on the pre-compile "armed" marker, not the first interval:
-        # in-suite the subprocess's train-step compile has measured >900 s
-        # on this 1-CPU box (vs ~60 s solo), and a TERM landing inside an
-        # XLA compile defers the handler until the compile returns.  The
-        # contract under test — SIGTERM -> emergency orbax state -> exit
-        # 143 — is live as soon as the handler is installed.
-        deadline = time.time() + 2400
+        # Gate the TERM on the FIRST LOGGED INTERVAL, not the pre-compile
+        # "armed" marker: a TERM landing inside an XLA compile is deferred
+        # until the compile returns, so the earlier armed-gated design
+        # needed its post-TERM wait to cover a full cold compile and still
+        # flaked whenever a code change invalidated the persistent cache
+        # (round-2 weak #1; round-3 suite runs #2 and the post-rewrite run
+        # #1, >2400 s).  After an interval line exists every compile is
+        # done, the TERM lands in eager Python, and the handler fires
+        # within one step.  The pre-TERM wait is the only long one and it
+        # is pure polling — budget it generously.
+        deadline = time.time() + 3000
+        seen_armed = False
         while time.time() < deadline:
-            if os.path.exists(record) and "armed" in open(record).read():
+            txt = open(record).read() if os.path.exists(record) else ""
+            seen_armed = seen_armed or "armed" in txt
+            if "iter " in txt and "loss=" in txt:
                 break
             if proc.poll() is not None:
-                raise AssertionError("CLI died before arming" + context())
+                raise AssertionError("CLI died before first interval"
+                                     + context())
             time.sleep(2)
         else:
-            raise AssertionError("never armed the SIGTERM handler" + context())
-        time.sleep(2)
+            what = ("never logged an interval (armed ok)" if seen_armed
+                    else "never armed the SIGTERM handler")
+            raise AssertionError(what + context())
+        assert seen_armed, "interval logged without arming" + context()
         proc.send_signal(signal.SIGTERM)
-        # budget above the COLD-suite worst case: a TERM landing inside a
-        # cold in-suite XLA compile (>900 s measured; suite run #2 of round
-        # 3 still flaked at 1500 s budgets) defers the handler until the
-        # compile returns
-        rc = proc.wait(timeout=2400)
+        # post-compile a step takes ~1 s; 300 s is pure slack
+        rc = proc.wait(timeout=300)
     finally:
         if proc.poll() is None:
             proc.kill()
