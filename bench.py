@@ -40,6 +40,36 @@ BASELINE_TRAIN_MS = 497.0
 # reference publishes no pretrain timing, BASELINE.md)
 BASELINE_PRETRAIN_MS = 74.9
 
+# TPU v5e single-chip peaks (public spec): bf16 matmul throughput and HBM
+# bandwidth — the roofline denominators for --roofline
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_BYTES = 819e9
+
+
+def print_roofline(lowered_fn, args_tuple, measured_ms, label):
+    """XLA cost analysis of the compiled step -> speed-of-light bounds.
+
+    XLA counts every op's FLOPs (f32 assembly included) and every byte the
+    program touches; the max of the two bounds is the compiled program's
+    speed of light on this chip — the gap to the measured time is dispatch/
+    latency/underutilization, not missing work."""
+    import sys
+
+    compiled = lowered_fn.lower(*args_tuple).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+    fl = float(ca.get("flops", 0.0))
+    by = float(ca.get("bytes accessed", 0.0))
+    t_fl = fl / V5E_PEAK_FLOPS * 1e3
+    t_by = by / V5E_PEAK_BYTES * 1e3
+    sol = max(t_fl, t_by)
+    bound = "HBM" if t_by > t_fl else "FLOPs"
+    print(f"roofline[{label}]: {fl / 1e9:.1f} GFLOP, "
+          f"{by / 1e9:.2f} GB accessed -> SoL {t_fl:.2f} ms (MXU) / "
+          f"{t_by:.2f} ms (HBM); {bound}-bound program, measured "
+          f"{measured_ms:.1f} ms = {measured_ms / max(sol, 1e-9):.1f}x SoL",
+          file=sys.stderr)
+
 
 def build_cfg(args, smoke):
     from vln_magic_tpu.config import (DistillConfig, EnvConfig, MagicConfig,
@@ -136,6 +166,12 @@ def main():
                          "decode latency (the reference's real-time "
                          "deployment claim, readme.md:4) instead of "
                          "throughput")
+    ap.add_argument("--serve", action="store_true",
+                    help="online serving mode: per-decision latency of the "
+                         "step-at-a-time NavSession control loop (incremental "
+                         "map build from observations, agent/serving.py) — "
+                         "the robot-deployment path, including the per-step "
+                         "observation ingest H2D")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--dtype", default="bfloat16")
@@ -191,6 +227,11 @@ def main():
                          "check scan-count-dependent paths)")
     ap.add_argument("--profile", default=None,
                     help="capture a jax.profiler trace into this directory")
+    ap.add_argument("--roofline", action="store_true", default=False,
+                    help="print XLA cost-analysis FLOPs/bytes of the "
+                         "compiled step and the derived speed-of-light "
+                         "bounds vs the measured time (v5e peaks: 197 "
+                         "TFLOP/s bf16, 819 GB/s HBM)")
     args = ap.parse_args()
 
     import os
@@ -306,6 +347,20 @@ def main():
         if args.profile:
             jax.profiler.stop_trace()
         ms = wall / iters * 1000.0
+        if args.roofline:
+            txt_ids, txt_masks = pad_instructions(items, cfg.env.max_instr_len)
+            state0 = episodes_from_items(
+                trainer.tables, world, items, trainer.rollout.model_dims,
+                observed_parity=cfg.env.observed_graph_parity)
+            print_roofline(
+                trainer._step_fn,
+                (trainer.params, trainer.opt_state, trainer.critic_params,
+                 trainer.critic_opt_state, trainer.t_params,
+                 trainer.t_opt_state, trainer.tables, state0,
+                 jnp.asarray(txt_ids), jnp.asarray(txt_masks),
+                 jax.random.PRNGKey(0),
+                 jnp.asarray(trainer.ability_grads), trainer.zdicts),
+                ms, "makd_train_step")
         print(f"loss={m.get('loss', float('nan')):.3f} "
               f"batch={batch} iters={iters}", file=sys.stderr)
         print(json.dumps({
@@ -313,6 +368,54 @@ def main():
             "value": round(ms, 1),
             "unit": "ms/step",
             "vs_baseline": round(BASELINE_TRAIN_MS / ms, 3),
+        }))
+        return
+
+    if args.serve:
+        from vln_magic_tpu.agent.serving import (NavServer,
+                                                 observation_from_world)
+
+        # one deployment site: a single 64-node scan (a Matterport house is
+        # ~100-350 nodes; a session's map never exceeds what one episode
+        # observes).  Model/config stay the honest R2R shape.
+        serve_nodes = 64
+        serve_world = make_synthetic_world(num_scans=1,
+                                           nodes_per_scan=serve_nodes,
+                                           feat_dim=feat, seed=0)
+        nav = Navigator(cfg, serve_world)
+        server = NavServer(cfg, nav.params, max_nodes=serve_nodes,
+                           max_cands=serve_world.tables.cand_ids.shape[2],
+                           model=nav.model)
+        s_items = make_synthetic_instructions(serve_world, 9, rng,
+                                              min_path=4, max_path=7)
+        for it in s_items:
+            it["instr_encoding"] = rng.integers(4, 1000, txt_len) \
+                .astype(np.int32)
+        g = serve_world.graphs[0]
+        lat = []
+        for ep_i, it in enumerate(s_items):
+            sess = server.new_session(it["instr_encoding"])
+            cur = int(it["path_idx"][0])
+            for _ in range(cfg.env.max_action_len):
+                dec = sess.step(observation_from_world(
+                    serve_world, 0, cur, float(it["heading"])))
+                if ep_i > 0:   # episode 0 pays the jit compiles
+                    lat.append(dec.latency_ms)
+                if dec.stop:
+                    break
+                cur = g.index[dec.target]
+            sess.finish()
+        lat = np.asarray(lat)
+        ms = float(lat.mean())
+        print(f"online decisions {len(lat)} over {len(s_items) - 1} episodes;"
+              f" p50 {np.percentile(lat, 50):.2f} ms,"
+              f" p95 {np.percentile(lat, 95):.2f} ms"
+              f" (incl. per-step observation ingest H2D)", file=sys.stderr)
+        print(json.dumps({
+            "metric": "online_decision_latency_ms",
+            "value": round(ms, 2),
+            "unit": "ms/decision",
+            "vs_baseline": round(33.3 / ms, 3),   # 30 Hz control budget
         }))
         return
 
@@ -340,6 +443,12 @@ def main():
     wall = time.perf_counter() - t0
     if args.profile:
         jax.profiler.stop_trace()
+
+    if args.roofline:
+        print_roofline(
+            fn, (nav.params, nav.tables, state0, jnp.asarray(txt_ids),
+                 jnp.asarray(txt_masks), key, {}),
+            wall / iters * 1000.0, "eval_episode_batch")
 
     pipeline_steps = batch * t_steps * iters
     semantic_steps = semantic_per_iter * iters

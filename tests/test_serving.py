@@ -1,0 +1,123 @@
+"""Online serving session (agent/serving.py) equivalence with the offline
+parity rollout.
+
+The NavSession builds its world incrementally from per-step observations —
+the same information state as the reference's GraphMap.  Replaying a
+synthetic world's tables through the client API must therefore reproduce the
+offline observed-subgraph (parity) rollout EXACTLY: same per-step decisions,
+same stop, same final trajectory (incl. the stop-score backtrack)."""
+
+import numpy as np
+import jax
+import pytest
+
+from vln_magic_tpu.agent import Navigator
+from vln_magic_tpu.agent.serving import NavServer
+from vln_magic_tpu.agent.serving import observation_from_world as \
+    replay_observation
+from vln_magic_tpu.config import (EnvConfig, MagicConfig, ModelConfig,
+                                  TrainConfig)
+from vln_magic_tpu.env import make_synthetic_world
+from vln_magic_tpu.env.synthetic import make_synthetic_instructions
+
+INSTR_LEN = 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    world = make_synthetic_world(num_scans=1, nodes_per_scan=18, feat_dim=32,
+                                 seed=3)
+    cfg = MagicConfig(
+        model=ModelConfig(vocab_size=300, hidden_size=64,
+                          num_attention_heads=4, num_l_layers=2,
+                          num_pano_layers=1, num_x_layers=2,
+                          image_feat_size=32, max_position_embeddings=64),
+        env=EnvConfig(max_action_len=8, max_gmap_len=24,
+                      max_instr_len=INSTR_LEN, observed_graph_parity=True),
+        train=TrainConfig(batch_size=1),
+    )
+    nav = Navigator(cfg, world, rng=jax.random.PRNGKey(0))
+    rng = np.random.default_rng(11)
+    items = make_synthetic_instructions(world, 3, rng, vocab_size=300,
+                                        min_path=3, max_path=6)
+    # fixed-length instructions so the offline bucketing (multiples of 16)
+    # and the serving session (always max_instr_len) see the same L
+    for it in items:
+        it["instr_encoding"] = rng.integers(4, 300, INSTR_LEN).astype(np.int32)
+    server = NavServer(cfg, nav.params,
+                       max_nodes=world.graphs[0].num_nodes,
+                       max_cands=world.tables.cand_ids.shape[2],
+                       model=nav.model)
+    return world, cfg, nav, items, server
+
+
+
+
+def serve_episode(world, cfg, server, item):
+    g = world.graphs[item["scan_idx"]]
+    sess = server.new_session(item["instr_encoding"])
+    cur = int(item["path_idx"][0])
+    actions, latencies = [], []
+    for _ in range(cfg.env.max_action_len):
+        dec = sess.step(replay_observation(world, item["scan_idx"], cur,
+                                           float(item["heading"])))
+        latencies.append(dec.latency_ms)
+        if dec.target is None:
+            actions.append(-1)
+        else:
+            cur = g.index[dec.target]
+            actions.append(cur)
+        if dec.stop:
+            break
+    return sess, actions, latencies
+
+
+def test_serving_matches_offline_parity(setup):
+    world, cfg, nav, items, server = setup
+    for item in items:
+        state, aux = nav.run_items([item])
+        off_actions = [int(a) for a in np.asarray(aux["actions"])[:, 0]]
+        sess, srv_actions, _ = serve_episode(world, cfg, server, item)
+        srv_padded = srv_actions + [-1] * (len(off_actions) - len(srv_actions))
+        assert srv_padded == off_actions, (
+            f"serving decisions diverge from offline parity rollout: "
+            f"{srv_actions} vs {off_actions}")
+
+        g = world.graphs[item["scan_idx"]]
+        final = sess.finish()
+        assert final["stop_node"] == g.node_ids[int(aux["stop_node"][0])]
+        off_flat = [g.node_ids[int(k)]
+                    for k in np.asarray(aux["traj_nodes"])[0][
+                        : int(aux["traj_len"][0])]]
+        assert final["trajectory"] == off_flat
+
+
+def test_serving_rejects_wrong_node(setup):
+    world, cfg, nav, items, server = setup
+    item = items[0]
+    g = world.graphs[item["scan_idx"]]
+    sess = server.new_session(item["instr_encoding"])
+    start = int(item["path_idx"][0])
+    dec = sess.step(replay_observation(world, item["scan_idx"], start,
+                                       float(item["heading"])))
+    if dec.stop:
+        pytest.skip("episode stopped at step 0")
+    wrong = (start + 1) % g.num_nodes
+    if dec.target == g.node_ids[wrong]:
+        wrong = (start + 2) % g.num_nodes
+    with pytest.raises(ValueError, match="current node"):
+        sess.step(replay_observation(world, item["scan_idx"], wrong,
+                                     float(item["heading"])))
+
+
+def test_serving_node_budget(setup):
+    world, cfg, nav, items, server = setup
+    item = items[0]
+    small = NavServer(cfg, nav.params, max_nodes=2,
+                      max_cands=world.tables.cand_ids.shape[2],
+                      model=nav.model)
+    sess = small.new_session(item["instr_encoding"])
+    with pytest.raises(ValueError, match="max_nodes"):
+        sess.step(replay_observation(world, item["scan_idx"],
+                                     int(item["path_idx"][0]),
+                                     float(item["heading"])))

@@ -809,7 +809,14 @@ class Rollout:
 
     def transition(self, state: EpisodeBatch, gmap, action, stop_prob,
                    t_step: int, feedback: str, pano=None,
-                   local_actions: bool = False, is_tf=None, ep=None):
+                   local_actions: bool = False, is_tf=None, ep=None,
+                   defer_observe: bool = False):
+        """``defer_observe``: skip the trailing relax/observe of the arrival
+        node — the online serving session (agent/serving.py) runs them at the
+        START of the next step instead, once the client has reported the
+        arrival node's candidates (offline, the world tables are complete up
+        front so the order is immaterial — nothing reads the registration
+        between the end of step t and the top of step t+1)."""
         t = self.t
         env = self.env
         b = state.batch_size
@@ -945,9 +952,10 @@ class Rollout:
             visited=visited, stop_scores=stop_scores,
             traj_nodes=traj_nodes, traj_len=traj_len,
             ended=state.ended | just_ended)
-        if parity:
-            state = relax_observed(state, self.t, new_cur, moving)
-        state = _observe(state, self.t)
+        if not defer_observe:
+            if parity:
+                state = relax_observed(state, self.t, new_cur, moving)
+            state = _observe(state, self.t)
         chosen = jnp.where(moving, target, -1)
         return state, chosen, just_ended
 

@@ -1,0 +1,462 @@
+"""Online step-at-a-time navigation serving (robot deployment).
+
+The reference claims "superior performance and real-time efficiency" for a
+robot deployment (readme.md:4) but ships no serving path: its agent can only
+batch-decode full episodes against a pre-built MatterSim world
+(map_nav_src/r2r/agent_base.py:58-82 loops rollouts over a fixed env).  This
+module is the TPU-native serving story:
+
+    server = NavServer(cfg, params, max_nodes=64, max_cands=10)
+    sess = server.new_session(instr_tokens)      # one per episode
+    while True:
+        plan = sess.step(Observation(node=..., position=..., heading=...,
+                                     pano_feats=..., candidates=[...]))
+        if plan.stop:
+            break
+        # drive the robot along plan.path; observe at plan.target
+    final = sess.finish()   # stop-score backtrack (agent.py:1080-1095)
+
+No world tables are required up front: each session builds its topological
+map incrementally from the robot's own observations — the same information
+state as the reference's GraphMap (observed-subgraph parity mode,
+agent/rollout.py ``relax_observed``), so when the observations replay a
+world the decision sequence is IDENTICAL to the offline parity rollout
+(pinned by tests/test_serving.py).
+
+Design notes (TPU-first):
+
+- One compile, many episodes: the :class:`NavServer` owns the jitted device
+  programs (decision step, arrival registration, instruction encode, final
+  backtrack); sessions are cheap per-episode state.
+- Static shapes throughout: ``max_nodes`` node slots, a fixed candidate
+  budget, fixed instruction length.
+- The per-decision device program is the same fused step the batch rollout
+  scans over (assemble -> panorama -> navigation -> transition), with the
+  incrementally-built tables entering as ARGUMENTS (device buffers), never
+  closure constants.
+- Only the arrival node's 36-view features cross host->device per step
+  (~110 KB at CLIP-768) plus the host-mirrored topological tables (tens of
+  KB); the instruction forward + cross-attention K/V are computed once per
+  session and reused every decision (rollout.run hoists the same way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MagicConfig
+from ..env import geometry as geo
+from ..models import DualScaleVLNBert
+from .rollout import (EpisodeBatch, Rollout, Tables, _observe, init_episodes,
+                      relax_observed)
+
+
+@dataclasses.dataclass
+class Candidate:
+    """A navigable neighbor visible from the current node.
+
+    ``view``: discretized 30-degree view index (0..35) the neighbor is
+    visible in; synthesized from the relative geometry when None (the same
+    nearest-view rule the offline world builder uses, env/world.py:133).
+    ``dist``: traversal distance of the edge (odometry / connectivity).
+    """
+
+    node: str
+    position: tuple[float, float, float]
+    dist: float
+    heading: float | None = None      # absolute heading cur -> node
+    elevation: float | None = None
+    view: int | None = None
+
+
+@dataclasses.dataclass
+class Observation:
+    """What the robot reports on arriving at a node.  ``heading`` is only
+    read at episode start (afterwards the session tracks pose through its
+    own transitions, exactly like the offline rollout)."""
+
+    node: str
+    position: tuple[float, float, float]
+    heading: float
+    pano_feats: np.ndarray            # [36, D] view features (CLIP)
+    candidates: list[Candidate]
+
+
+@dataclasses.dataclass
+class NavDecision:
+    stop: bool
+    target: str | None                # chosen map node (None when stopping)
+    path: list[str]                   # planned hops cur -> target (incl.)
+    action_index: int                 # raw gmap-token action
+    latency_ms: float                 # wall time of this decision
+
+
+def observation_from_world(world, scan_idx: int, v: int,
+                           heading: float) -> Observation:
+    """Replay client: what a robot standing at node ``v`` of an offline
+    :class:`~vln_magic_tpu.env.world.World` would report.  Used by the
+    serving equivalence tests and ``bench.py --serve``; a real deployment
+    builds :class:`Observation` from live sensors instead."""
+    t = world.tables
+    g = world.graphs[scan_idx]
+    cands = []
+    for j in range(t.cand_ids.shape[2]):
+        if not t.cand_mask[scan_idx, v, j]:
+            continue
+        ci = int(t.cand_ids[scan_idx, v, j])
+        cands.append(Candidate(
+            node=g.node_ids[ci],
+            position=tuple(t.positions[scan_idx, ci]),
+            dist=float(t.cand_dist[scan_idx, v, j]),
+            heading=float(t.cand_heading[scan_idx, v, j]),
+            elevation=float(t.cand_elevation[scan_idx, v, j]),
+            view=int(t.cand_view[scan_idx, v, j])))
+    return Observation(
+        node=g.node_ids[v], position=tuple(t.positions[scan_idx, v]),
+        heading=heading,
+        pano_feats=np.asarray(t.features[scan_idx, v], np.float32),
+        candidates=cands)
+
+
+class NavServer:
+    """Compiled serving endpoint: owns the model, parameters, and the jitted
+    device programs, shared across every episode session.
+
+    ``cfg.env.observed_graph_parity`` is forced on: serving has exactly the
+    observed-subgraph information state of the reference's GraphMap."""
+
+    def __init__(self, cfg: MagicConfig, params, max_nodes: int = 64,
+                 max_cands: int = 10, zdicts: dict | None = None, model=None):
+        cfg = dataclasses.replace(
+            cfg, env=dataclasses.replace(cfg.env, observed_graph_parity=True))
+        self.cfg = cfg
+        self.params = params
+        self.n, self.c = max_nodes, max_cands
+        self.model = model or DualScaleVLNBert(
+            cfg.model, dtype=jnp.dtype(cfg.train.compute_dtype))
+        self._zdicts = zdicts or {}
+        # template tables only fix SHAPES for the rollout helpers; real
+        # tables enter the jitted programs as arguments per call
+        d = cfg.model.image_feat_size
+        template = _empty_tables(max_nodes, max_cands, d)
+        self.rollout = Rollout(template, cfg.env, self.model)
+        self._feat_update = jax.jit(
+            lambda feats, v, row: feats.at[0, v].set(row),
+            donate_argnums=(0,))
+        self._decide_jit = jax.jit(self._decide)
+        self._arrive_jit = jax.jit(self._arrive)
+        self._finish_jit = jax.jit(self._finish_traj)
+        self._lang_jit = jax.jit(self._lang)
+
+    def new_session(self, instr_encoding) -> "NavSession":
+        return NavSession(self, np.asarray(instr_encoding))
+
+    # ------------------------------------------------------------------
+    # jitted device programs (shared across sessions — one compile)
+    # ------------------------------------------------------------------
+
+    def _zd_for(self):
+        z = self._zdicts.get("student") or {}
+        out = {}
+        for k, v in z.items():
+            if v is None:
+                continue
+            if isinstance(v, dict):
+                out[k] = {k2: jnp.asarray(v2)[None] for k2, v2 in v.items()}
+            else:
+                out[k] = jnp.asarray(v)[None]
+        return out
+
+    def _lang(self, params, txt_ids, txt_masks):
+        zd = self._zd_for()
+        txt_embeds, _ = self.model.apply(
+            params, txt_ids, txt_masks,
+            instr_zdict=zd.get("instr_zdict"),
+            front_txt_feats=zd.get("front_txt_feats"),
+            deterministic=True, method=type(self.model).language)
+        txt_kv = None
+        if self.cfg.model.hoist_text_kv:
+            txt_kv = self.model.apply(
+                params, txt_embeds, method=type(self.model).text_cross_kv)
+        return txt_embeds, txt_kv
+
+    def _arrive(self, tables, state, v, moved):
+        """Deferred arrival registration: the relax/observe the batch rollout
+        runs at the END of transition happens here, once the client has
+        reported the arrival node's candidates (offline, the world tables
+        are complete up front so the order is immaterial — nothing reads the
+        registration between the end of step t and the top of step t+1; see
+        Rollout.transition defer_observe)."""
+        r = self.rollout
+        prev = r.t
+        r.t = tables
+        try:
+            state = relax_observed(state, tables, v, moved)
+            return _observe(state, tables)
+        finally:
+            r.t = prev
+
+    def _decide(self, params, tables, state, txt_embeds, txt_masks, txt_kv,
+                t_step):
+        r = self.rollout
+        prev = r.t
+        r.t = tables
+        try:
+            b = state.batch_size
+            bi = jnp.arange(b)
+            live0 = ~state.ended
+            trash = tables.node_mask.shape[1]
+            # top-of-step step-id stamp (agent.py:873-875)
+            state = state.replace(step_ids=state.step_ids.at[
+                bi, jnp.where(live0, state.cur, trash)].set(
+                jnp.where(live0, t_step + 1, state.step_ids[bi, trash])))
+            pano = r.assemble_pano(state)
+            gmap_base = r.assemble_gmap_base(state)
+            vp_base = r.assemble_vp_base(state, pano, gmap_base)
+            state, gmap, outs = r._model_step(
+                self.model, params, "student", state, txt_embeds, txt_masks,
+                jax.random.PRNGKey(0), True, self._zd_for(), 1,
+                (pano, gmap_base, vp_base), txt_kv=txt_kv)
+            key = {"dynamic": "fused_logits", "avg": "fused_logits",
+                   "global": "global_logits",
+                   "local": "local_logits"}[r.cfg.fusion]
+            logits = outs[key]
+            action = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            stop_prob = jax.nn.softmax(logits, axis=-1)[:, 0]
+            state, chosen, just_ended = r.transition(
+                state, gmap, action, stop_prob, t_step, "argmax", pano=pano,
+                local_actions=(r.cfg.fusion == "local"), defer_observe=True)
+            return state, chosen[0], just_ended[0], action[0]
+        finally:
+            r.t = prev
+
+    def _finish_traj(self, tables, state):
+        r = self.rollout
+        prev = r.t
+        r.t = tables
+        try:
+            stop_node = r.final_stop_node(state)
+            tn, tl = r._record_backtrack(state, stop_node)
+            return stop_node[0], tn[0], tl[0]
+        finally:
+            r.t = prev
+
+
+def _empty_tables(n: int, c: int, d: int) -> Tables:
+    z_nn_i = jnp.zeros((1, n, n), jnp.int32)
+    return Tables(
+        node_mask=jnp.ones((1, n), bool),
+        positions=jnp.zeros((1, n, 3), jnp.float32),
+        dist=jnp.zeros((1, n, n), jnp.float32),
+        steps=z_nn_i,      # unread in parity mode
+        next_hop=z_nn_i,   # unread in parity mode
+        cand_ids=jnp.full((1, n, c), -1, jnp.int32),
+        cand_dist=jnp.zeros((1, n, c), jnp.float32),
+        cand_view=jnp.zeros((1, n, c), jnp.int32),
+        cand_heading=jnp.zeros((1, n, c), jnp.float32),
+        cand_elevation=jnp.zeros((1, n, c), jnp.float32),
+        cand_mask=jnp.zeros((1, n, c), bool),
+        features=jnp.zeros((1, n, 36, d), jnp.float32),
+    )
+
+
+class NavSession:
+    """One episode's online state: host-mirrored incremental world tables,
+    the device episode state, and the trajectory record.  Create via
+    :meth:`NavServer.new_session`."""
+
+    def __init__(self, server: NavServer, instr_encoding: np.ndarray):
+        self.server = server
+        self.cfg = server.cfg
+        n, c = server.n, server.c
+        self.n, self.c = n, c
+        # host mirrors of the incremental world (tiny); features stay on
+        # device and only the arrival row crosses per step
+        self.h_pos = np.zeros((n, 3), np.float32)
+        self.h_cand_ids = np.full((n, c), -1, np.int32)
+        self.h_cand_dist = np.zeros((n, c), np.float32)
+        self.h_cand_view = np.zeros((n, c), np.int32)
+        self.h_cand_heading = np.zeros((n, c), np.float32)
+        self.h_cand_elev = np.zeros((n, c), np.float32)
+        self.h_dist = np.zeros((n, n), np.float32)
+        self._ids: dict[str, int] = {}
+        self._names: list[str] = []
+        d = self.cfg.model.image_feat_size
+        self._features = jnp.zeros((1, n, 36, d), jnp.float32)
+
+        L = self.cfg.env.max_instr_len
+        ids = np.full((1, L), 1, np.int32)
+        mask = np.zeros((1, L), bool)
+        enc = np.asarray(instr_encoding)[:L]
+        ids[0, : len(enc)] = enc
+        mask[0, : len(enc)] = True
+        txt_masks = jnp.asarray(mask)
+        txt_embeds, txt_kv = server._lang_jit(server.params, jnp.asarray(ids),
+                                              txt_masks)
+        self._txt = (txt_embeds, txt_masks, txt_kv)
+
+        self.state: EpisodeBatch | None = None
+        self.t_step = 0
+        self._last_moved = False
+        self._traj: list[str] = []
+
+    # ------------------------------------------------------------------
+    # world ingestion
+    # ------------------------------------------------------------------
+
+    def _intern(self, name: str) -> int:
+        if name not in self._ids:
+            if len(self._names) >= self.n:
+                raise ValueError(
+                    f"max_nodes={self.n} exhausted; raise NavServer "
+                    f"max_nodes for larger deployment sites")
+            self._ids[name] = len(self._names)
+            self._names.append(name)
+        return self._ids[name]
+
+    def _tables(self) -> Tables:
+        return Tables(
+            node_mask=jnp.asarray(np.ones((1, self.n), bool)),
+            positions=jnp.asarray(self.h_pos[None]),
+            dist=jnp.asarray(self.h_dist[None]),
+            steps=jnp.zeros((1, self.n, self.n), jnp.int32),
+            next_hop=jnp.zeros((1, self.n, self.n), jnp.int32),
+            cand_ids=jnp.asarray(self.h_cand_ids[None]),
+            cand_dist=jnp.asarray(self.h_cand_dist[None]),
+            cand_view=jnp.asarray(self.h_cand_view[None]),
+            cand_heading=jnp.asarray(self.h_cand_heading[None]),
+            cand_elevation=jnp.asarray(self.h_cand_elev[None]),
+            cand_mask=jnp.asarray((self.h_cand_ids >= 0)[None]),
+            features=self._features,
+        )
+
+    def _ingest(self, obs: Observation) -> int:
+        """Fold an observation into the host mirrors + device features."""
+        v = self._intern(obs.node)
+        self.h_pos[v] = np.asarray(obs.position, np.float32)
+        if len(obs.candidates) > self.c:
+            raise ValueError(
+                f"{len(obs.candidates)} candidates > max_cands={self.c}")
+        ids, dists, views, heads, elevs = [], [], [], [], []
+        for cand in obs.candidates:
+            ci = self._intern(cand.node)
+            self.h_pos[ci] = np.asarray(cand.position, np.float32)
+            h, e = cand.heading, cand.elevation
+            if h is None or e is None:
+                h, e, _ = geo.rel_pos_features(self.h_pos[v], self.h_pos[ci])
+                h, e = float(h), float(e)
+            view = cand.view if cand.view is not None else int(
+                geo.nearest_view_index(h, e))
+            ids.append(ci)
+            dists.append(float(cand.dist))
+            views.append(view)
+            heads.append(h)
+            elevs.append(e)
+            # symmetric edge weight for the observed-subgraph relax
+            # (rollout.relax_observed reads t.dist[scan, v, cand])
+            self.h_dist[v, ci] = self.h_dist[ci, v] = float(cand.dist)
+            self._reverse_fill(ci, v, float(cand.dist))
+        m = len(ids)
+        self.h_cand_ids[v] = -1
+        self.h_cand_ids[v, :m] = ids
+        self.h_cand_dist[v, :m] = dists
+        self.h_cand_view[v, :m] = views
+        self.h_cand_heading[v, :m] = heads
+        self.h_cand_elev[v, :m] = elevs
+        row = np.asarray(obs.pano_feats, np.float32)
+        d = self.cfg.model.image_feat_size
+        if row.shape != (36, d):
+            raise ValueError(f"pano_feats must be [36, {d}], got {row.shape}")
+        self._features = self.server._feat_update(self._features, v,
+                                                  jnp.asarray(row))
+        return v
+
+    def _reverse_fill(self, frm: int, to: int, dist: float):
+        """Record the reverse edge ``frm -> to`` so the observed-graph walk
+        can route through frontier nodes (offline, the complete world tables
+        carry every node's candidate row; the walk only uses edges with a
+        visited endpoint, and those are exactly the reverse edges of
+        reported candidates when connectivity is symmetric)."""
+        row = self.h_cand_ids[frm]
+        if (row == to).any():
+            return
+        free = np.flatnonzero(row < 0)
+        if len(free) == 0:
+            return   # row full: the node was (or will be) directly observed
+        j = free[0]
+        h, e, _ = geo.rel_pos_features(self.h_pos[frm], self.h_pos[to])
+        self.h_cand_ids[frm, j] = to
+        self.h_cand_dist[frm, j] = dist
+        self.h_cand_view[frm, j] = int(geo.nearest_view_index(h, e))
+        self.h_cand_heading[frm, j] = float(h)
+        self.h_cand_elev[frm, j] = float(e)
+
+    # ------------------------------------------------------------------
+    # control-loop API
+    # ------------------------------------------------------------------
+
+    def step(self, obs: Observation) -> NavDecision:
+        """One decision: ingest the robot's observation at its current node,
+        run the fused per-step model program, return the plan."""
+        t0 = time.perf_counter()
+        if self.state is not None and self.state.ended[0]:
+            raise RuntimeError("episode already ended; call finish()")
+        v = self._ingest(obs)
+        tables = self._tables()
+        server = self.server
+        if self.state is None:
+            # episode start: the gt path is unknown at serving time —
+            # goal=start is never read under feedback='argmax'
+            self.state = init_episodes(
+                tables, np.zeros((1,), np.int32), np.asarray([v], np.int32),
+                np.asarray([obs.heading], np.float32),
+                np.asarray([[v]], np.int32), np.ones((1,), np.int32),
+                server.rollout.model_dims, observed_parity=True)
+            self._traj = [obs.node]
+        else:
+            if v != int(self.state.cur[0]):
+                raise ValueError(
+                    f"observation at '{obs.node}' but the session's current "
+                    f"node is '{self._names[int(self.state.cur[0])]}'")
+            self.state = server._arrive_jit(
+                tables, self.state, self.state.cur,
+                jnp.asarray([self._last_moved]))
+        pre_len = int(self.state.traj_len[0])
+        self.state, chosen, ended, action = server._decide_jit(
+            server.params, tables, self.state, self._txt[0], self._txt[1],
+            self._txt[2], jnp.int32(self.t_step))
+        self.t_step += 1
+        chosen = int(chosen)
+        self._last_moved = chosen >= 0
+        stop = bool(ended) or chosen < 0
+        path = []
+        if chosen >= 0:
+            tn = np.asarray(self.state.traj_nodes[0])
+            post_len = int(self.state.traj_len[0])
+            path = [self._names[i] for i in tn[pre_len:post_len]]
+            self._traj.extend(path)
+        latency = (time.perf_counter() - t0) * 1000.0
+        return NavDecision(
+            stop=stop,
+            target=self._names[chosen] if chosen >= 0 else None,
+            path=path, action_index=int(action), latency_ms=latency)
+
+    def finish(self) -> dict:
+        """Backtrack to the best stop-score node (agent.py:1080-1095) and
+        return the final trajectory record."""
+        if self.state is None:
+            raise RuntimeError("no steps taken")
+        stop_node, tn, tl = self.server._finish_jit(self._tables(), self.state)
+        tn, tl = np.asarray(tn), int(tl)
+        pre = len(self._traj)
+        backtrack = [self._names[i] for i in tn[pre:tl]]
+        return {
+            "stop_node": self._names[int(stop_node)],
+            "trajectory": self._traj + backtrack,
+            "steps": self.t_step,
+        }
