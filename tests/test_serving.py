@@ -110,6 +110,55 @@ def test_serving_rejects_wrong_node(setup):
                                      float(item["heading"])))
 
 
+def test_cli_serve_protocol(tmp_path, monkeypatch, capsys):
+    """--mode serve: the JSON-lines stdin/stdout deployment endpoint
+    (cli/main_nav.serve) — session -> ready, observation -> decision,
+    malformed message -> error (server survives), finish -> final."""
+    import io
+    import json
+
+    from vln_magic_tpu.cli.main_nav import main as cli_main
+
+    rng = np.random.default_rng(0)
+
+    def feats():
+        return rng.normal(size=(36, 16)).astype(np.float32).tolist()
+
+    msgs = [
+        {"type": "session", "instruction": list(range(4, 20))},
+        {"type": "observation", "node": "a", "position": [0, 0, 0],
+         "heading": 0.0, "pano_feats": feats(), "candidates": [
+             {"node": "b", "position": [2.0, 0, 0], "dist": 2.0},
+             {"node": "c", "position": [0, 2.0, 0], "dist": 2.0}]},
+        {"type": "bogus"},
+        {"type": "finish"},
+        {"type": "quit"},
+    ]
+    stdin = io.StringIO("\n".join(json.dumps(m) for m in msgs) + "\n")
+    monkeypatch.setattr("sys.stdin", stdin)
+    cli_main(["--mode", "serve", "--name", "srv",
+              "--output_dir", str(tmp_path),
+              "--student_hidden_size", "32",
+              "--student_num_attention_heads", "2",
+              "--num_l_layers", "1", "--num_pano_layers", "1",
+              "--num_x_layers", "1", "--max_instr_len", "32",
+              "--max_action_len", "4", "--max_gmap_len", "16",
+              "--synthetic_feat_dim", "16",
+              "--serve_max_nodes", "12", "--serve_max_cands", "8"])
+    out = [json.loads(line)
+           for line in capsys.readouterr().out.strip().splitlines()]
+    kinds = [m["type"] for m in out]
+    assert kinds[0] == "ready"
+    assert "decision" in kinds and "error" in kinds and "final" in kinds
+    dec = out[kinds.index("decision")]
+    assert isinstance(dec["stop"], bool)
+    if not dec["stop"]:
+        assert dec["target"] in ("b", "c")
+    fin = out[kinds.index("final")]
+    assert fin["trajectory"][0] == "a"
+    assert fin["steps"] == 1
+
+
 def test_serving_node_budget(setup):
     world, cfg, nav, items, server = setup
     item = items[0]

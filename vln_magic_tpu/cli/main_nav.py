@@ -201,7 +201,15 @@ def parse_args(argv=None):
     p.add_argument("--synthetic_scans", type=int, default=2)
     p.add_argument("--synthetic_nodes", type=int, default=24)
     p.add_argument("--synthetic_items", type=int, default=64)
-    p.add_argument("--synthetic_feat_dim", type=int, default=64)
+    # None sentinel: --mode serve must NOT silently shrink a production
+    # model just because no dataset tree is mounted (robot deployments have
+    # none); the rewrite applies only when set explicitly there
+    p.add_argument("--synthetic_feat_dim", type=int, default=None)
+    # --mode serve knobs (online robot control loop, agent/serving.py)
+    p.add_argument("--serve_max_nodes", type=int, default=64,
+                   help="node-slot budget of an online serving session")
+    p.add_argument("--serve_max_cands", type=int, default=10,
+                   help="candidate-slot budget per node in serving mode")
 
     args, _ = p.parse_known_args(argv)
     # legacy aliases
@@ -784,6 +792,97 @@ def extract_cfp(args, cfg, world, splits):
     return out
 
 
+def serve(args, cfg):
+    """``--mode serve``: the online robot control loop as a JSON-lines
+    protocol over stdin/stdout (agent/serving.py; the reference's
+    "real-time efficiency" deployment claim, readme.md:4, with an actual
+    endpoint).  Messages, one JSON object per line:
+
+      -> {"type": "session", "instruction": [token ids]}
+      <- {"type": "ready"}
+      -> {"type": "observation", "node": str, "position": [x, y, z],
+          "heading": float, "pano_feats": [[36 x D floats]] | base64(f32le),
+          "candidates": [{"node", "position", "dist",
+                          "heading"?, "elevation"?, "view"?}, ...]}
+      <- {"type": "decision", "stop": bool, "target": str|null,
+          "path": [node...], "latency_ms": float}
+      -> {"type": "finish"}
+      <- {"type": "final", "stop_node": str, "trajectory": [...], "steps": N}
+      -> {"type": "quit"}
+
+    The model compiles once at startup; every episode session reuses it.
+    """
+    import base64
+    import sys as _sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..agent.serving import Candidate, NavServer, Observation
+    from ..models import DualScaleVLNBert
+    from ..models.vlnbert import dummy_step_batch
+    from ..utils.checkpoint import load_torch_checkpoint
+
+    model = DualScaleVLNBert(cfg.model,
+                             dtype=jnp.dtype(cfg.train.compute_dtype))
+    batch = dummy_step_batch(cfg.model, batch_size=1, txt_len=8,
+                             pano_len=args.serve_max_cands + 36,
+                             gmap_len=cfg.env.max_gmap_len)
+    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.train.seed), batch)
+    if args.resume_file:
+        params, epoch, _, _ = load_torch_checkpoint(args.resume_file,
+                                                    template=params)
+        print(json.dumps({"type": "loaded", "ckpt": args.resume_file,
+                          "epoch": epoch}), flush=True)
+    server = NavServer(cfg, params, max_nodes=args.serve_max_nodes,
+                       max_cands=args.serve_max_cands, model=model)
+    d = cfg.model.image_feat_size
+
+    def _feats(x):
+        if isinstance(x, str):
+            return np.frombuffer(base64.b64decode(x),
+                                 np.float32).reshape(36, d)
+        return np.asarray(x, np.float32)
+
+    sess = None
+    for line in _sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            msg = json.loads(line)
+            kind = msg.get("type")
+            if kind == "session":
+                sess = server.new_session(
+                    np.asarray(msg["instruction"], np.int32))
+                print(json.dumps({"type": "ready"}), flush=True)
+            elif kind == "observation":
+                dec = sess.step(Observation(
+                    node=msg["node"], position=tuple(msg["position"]),
+                    heading=float(msg.get("heading", 0.0)),
+                    pano_feats=_feats(msg["pano_feats"]),
+                    candidates=[Candidate(
+                        node=c["node"], position=tuple(c["position"]),
+                        dist=float(c["dist"]), heading=c.get("heading"),
+                        elevation=c.get("elevation"), view=c.get("view"))
+                        for c in msg["candidates"]]))
+                print(json.dumps({
+                    "type": "decision", "stop": dec.stop,
+                    "target": dec.target, "path": dec.path,
+                    "latency_ms": round(dec.latency_ms, 2)}), flush=True)
+            elif kind == "finish":
+                print(json.dumps({"type": "final", **sess.finish()}),
+                      flush=True)
+                sess = None
+            elif kind == "quit":
+                break
+            else:
+                raise ValueError(f"unknown message type {kind!r}")
+        except Exception as e:  # protocol errors must not kill the server
+            print(json.dumps({"type": "error", "message": str(e)}),
+                  flush=True)
+
+
 def default_max_gmap_len(dataset: str) -> int:
     """RxR trajectories are ~2x longer (28 actions, run_rxr_*.sh) and can
     observe well past 128 nodes; silent truncation there would surface only
@@ -798,7 +897,11 @@ def main(argv=None):
     if args.max_gmap_len is None:
         args.max_gmap_len = default_max_gmap_len(args.dataset)
     cfg = from_reference_flags(vars(args))
-    if not os.path.isdir(args.connectivity_dir):
+    explicit_synth = args.synthetic_feat_dim is not None
+    if args.synthetic_feat_dim is None:
+        args.synthetic_feat_dim = 64
+    if not os.path.isdir(args.connectivity_dir) and \
+            (args.mode != "serve" or explicit_synth):
         # synthetic fallback needs matching dims
         import dataclasses
 
@@ -812,6 +915,8 @@ def main(argv=None):
                     cfg.teacher_model,
                     image_feat_size=args.synthetic_feat_dim,
                     vocab_size=min(cfg.teacher_model.vocab_size, 2000)))
+    if args.mode == "serve":
+        return serve(args, cfg)
     world, splits, aug_features = build_dataset(args, cfg)
     if args.mode == "train":
         return train(args, cfg, world, splits, aug_features)
