@@ -386,6 +386,7 @@ def main():
         server = NavServer(cfg, nav.params, max_nodes=serve_nodes,
                            max_cands=serve_world.tables.cand_ids.shape[2],
                            model=nav.model)
+        server.warmup()
         s_items = make_synthetic_instructions(serve_world, 9, rng,
                                               min_path=4, max_path=7)
         for it in s_items:
@@ -399,7 +400,7 @@ def main():
             for _ in range(cfg.env.max_action_len):
                 dec = sess.step(observation_from_world(
                     serve_world, 0, cur, float(it["heading"])))
-                if ep_i > 0:   # episode 0 pays the jit compiles
+                if ep_i > 0:   # episode 0 re-touches freshly warmed programs
                     lat.append(dec.latency_ms)
                 if dec.stop:
                     break

@@ -26,18 +26,23 @@ world the decision sequence is IDENTICAL to the offline parity rollout
 Design notes (TPU-first):
 
 - One compile, many episodes: the :class:`NavServer` owns the jitted device
-  programs (decision step, arrival registration, instruction encode, final
-  backtrack); sessions are cheap per-episode state.
+  programs (instruction encode with hoisted cross-attention K/V, the fused
+  first-step / next-step decision programs, final backtrack); sessions are
+  cheap per-episode state.
 - Static shapes throughout: ``max_nodes`` node slots, a fixed candidate
   budget, fixed instruction length.
 - The per-decision device program is the same fused step the batch rollout
   scans over (assemble -> panorama -> navigation -> transition), with the
   incrementally-built tables entering as ARGUMENTS (device buffers), never
   closure constants.
-- Only the arrival node's 36-view features cross host->device per step
-  (~110 KB at CLIP-768) plus the host-mirrored topological tables (tens of
-  KB); the instruction forward + cross-attention K/V are computed once per
-  session and reused every decision (rollout.run hoists the same way).
+- A decision is FOUR host<->device crossings, total ~140 KB: the packed
+  host-mirrored topological tables (~30 KB, ONE buffer), the arrival node's
+  36-view feature row (~110 KB at CLIP-768, scattered into a donated device
+  table), the single fused jit dispatch (arrival registration + model step +
+  transition), and ONE packed i32 result vector back.  Chatty per-field
+  transfers and per-step eager dispatches were measured at 450 ms/decision
+  through the axon tunnel; the packed protocol exists because round trips,
+  not bytes, dominate a remote-attached TPU.
 """
 
 from __future__ import annotations
@@ -52,8 +57,8 @@ import numpy as np
 from ..config import MagicConfig
 from ..env import geometry as geo
 from ..models import DualScaleVLNBert
-from .rollout import (EpisodeBatch, Rollout, Tables, _observe, init_episodes,
-                      relax_observed)
+from .rollout import (MAX_TRAJ, EpisodeBatch, Rollout, Tables, _observe,
+                      init_episodes, relax_observed)
 
 
 @dataclasses.dataclass
@@ -143,22 +148,77 @@ class NavServer:
         # template tables only fix SHAPES for the rollout helpers; real
         # tables enter the jitted programs as arguments per call
         d = cfg.model.image_feat_size
-        template = _empty_tables(max_nodes, max_cands, d)
-        self.rollout = Rollout(template, cfg.env, self.model)
+        n, c = max_nodes, max_cands
+        self.rollout = Rollout(
+            Tables(node_mask=jnp.ones((1, n), bool),
+                   positions=jnp.zeros((1, n, 3), jnp.float32),
+                   dist=jnp.zeros((1, n, n), jnp.float32),
+                   steps=jnp.zeros((1, n, n), jnp.int32),
+                   next_hop=jnp.zeros((1, n, n), jnp.int32),
+                   cand_ids=jnp.full((1, n, c), -1, jnp.int32),
+                   cand_dist=jnp.zeros((1, n, c), jnp.float32),
+                   cand_view=jnp.zeros((1, n, c), jnp.int32),
+                   cand_heading=jnp.zeros((1, n, c), jnp.float32),
+                   cand_elevation=jnp.zeros((1, n, c), jnp.float32),
+                   cand_mask=jnp.zeros((1, n, c), bool),
+                   features=jnp.zeros((1, n, 36, d), jnp.float32)),
+            cfg.env, self.model)
         self._feat_update = jax.jit(
             lambda feats, v, row: feats.at[0, v].set(row),
             donate_argnums=(0,))
-        self._decide_jit = jax.jit(self._decide)
-        self._arrive_jit = jax.jit(self._arrive)
+        self._first_jit = jax.jit(self._first)
+        self._next_jit = jax.jit(self._next)
         self._finish_jit = jax.jit(self._finish_traj)
         self._lang_jit = jax.jit(self._lang)
 
     def new_session(self, instr_encoding) -> "NavSession":
         return NavSession(self, np.asarray(instr_encoding))
 
+    def warmup(self):
+        """Compile (or load from the persistent cache) every per-step device
+        program before the first real episode — a robot must not pay a
+        multi-second compile mid-run.  Without this, an episode that stops
+        at step 0 leaves the next-step program uncompiled and a later
+        episode stalls on it (measured as a multi-second latency outlier)."""
+        sess = self.new_session(np.zeros((4,), np.int32))
+        feats = np.zeros((36, self.cfg.model.image_feat_size), np.float32)
+        sess.step(Observation("__warm0", (0.0, 0.0, 0.0), 0.0, feats,
+                              [Candidate("__warm1", (1.0, 0.0, 0.0), 1.0)]))
+        # drive the remaining programs directly (the episode may have ended)
+        packed = jnp.asarray(sess._pack_mirrors())
+        _, out = self._next_jit(self.params, packed, sess._features,
+                                sess.state, np.asarray([True]),
+                                np.asarray(1, np.int32), *sess._txt)
+        fin = self._finish_jit(packed, sess._features, sess.state)
+        jax.block_until_ready((out, fin))
+
     # ------------------------------------------------------------------
     # jitted device programs (shared across sessions — one compile)
     # ------------------------------------------------------------------
+
+    def _unpack_tables(self, packed, features) -> Tables:
+        """Rebuild the Tables pytree from the session's single packed f32
+        mirror buffer (ONE H2D per step; int fields are exact in f32 for
+        node counts < 2^24).  steps/next_hop are unread in parity mode."""
+        n, c = self.n, self.c
+        sizes = [n * 3, n * n, n * c, n * c, n * c, n * c, n * c]
+        off = np.cumsum([0] + sizes)
+        part = lambda i, shape: packed[off[i]:off[i + 1]].reshape((1,) + shape)
+        cand_ids = part(2, (n, c)).astype(jnp.int32)
+        return Tables(
+            node_mask=jnp.ones_like(cand_ids[..., 0], bool),
+            positions=part(0, (n, 3)),
+            dist=part(1, (n, n)),
+            steps=jnp.zeros_like(cand_ids[..., 0], shape=(1, n, n)),
+            next_hop=jnp.zeros_like(cand_ids[..., 0], shape=(1, n, n)),
+            cand_ids=cand_ids,
+            cand_dist=part(3, (n, c)),
+            cand_view=part(4, (n, c)).astype(jnp.int32),
+            cand_heading=part(5, (n, c)),
+            cand_elevation=part(6, (n, c)),
+            cand_mask=cand_ids >= 0,
+            features=features,
+        )
 
     def _zd_for(self):
         z = self._zdicts.get("student") or {}
@@ -185,24 +245,11 @@ class NavServer:
                 params, txt_embeds, method=type(self.model).text_cross_kv)
         return txt_embeds, txt_kv
 
-    def _arrive(self, tables, state, v, moved):
-        """Deferred arrival registration: the relax/observe the batch rollout
-        runs at the END of transition happens here, once the client has
-        reported the arrival node's candidates (offline, the world tables
-        are complete up front so the order is immaterial — nothing reads the
-        registration between the end of step t and the top of step t+1; see
-        Rollout.transition defer_observe)."""
-        r = self.rollout
-        prev = r.t
-        r.t = tables
-        try:
-            state = relax_observed(state, tables, v, moved)
-            return _observe(state, tables)
-        finally:
-            r.t = prev
-
-    def _decide(self, params, tables, state, txt_embeds, txt_masks, txt_kv,
-                t_step):
+    def _decide_core(self, params, tables, state, txt_embeds, txt_masks,
+                     txt_kv, t_step):
+        """The per-step device pipeline: step-id stamp -> assembly -> fused
+        model step -> action -> transition (arrival registration deferred to
+        the NEXT step's program — see Rollout.transition defer_observe)."""
         r = self.rollout
         prev = r.t
         r.t = tables
@@ -231,38 +278,52 @@ class NavServer:
             state, chosen, just_ended = r.transition(
                 state, gmap, action, stop_prob, t_step, "argmax", pano=pano,
                 local_actions=(r.cfg.fusion == "local"), defer_observe=True)
-            return state, chosen[0], just_ended[0], action[0]
+            # ONE packed i32 result: [chosen, ended, action, traj_len,
+            # traj_nodes...] — a single D2H fetch per decision
+            out_vec = jnp.concatenate([
+                jnp.stack([chosen[0], just_ended[0].astype(jnp.int32),
+                           action[0], state.traj_len[0]]),
+                state.traj_nodes[0]])
+            return state, out_vec
         finally:
             r.t = prev
 
-    def _finish_traj(self, tables, state):
+    def _first(self, params, packed, features, v, heading, txt_embeds,
+               txt_masks, txt_kv):
+        """Episode start + first decision as ONE device program (the batch
+        rollout's init_episodes + step 0).  The gt path is unknown at
+        serving time — goal=start is never read under feedback='argmax'."""
+        tables = self._unpack_tables(packed, features)
+        state = init_episodes(
+            tables, jnp.zeros_like(v), v, heading, v[:, None],
+            jnp.ones_like(v), self.rollout.model_dims, observed_parity=True)
+        return self._decide_core(params, tables, state, txt_embeds,
+                                 txt_masks, txt_kv, jnp.int32(0))
+
+    def _next(self, params, packed, features, state, moved, t_step,
+              txt_embeds, txt_masks, txt_kv):
+        """Arrival registration + decision as ONE device program.  The
+        relax/observe the batch rollout runs at the END of transition runs
+        here instead, once the client has reported the arrival node's
+        candidates (offline, the tables are complete up front so the order
+        is immaterial — nothing reads the registration in between)."""
+        tables = self._unpack_tables(packed, features)
+        state = relax_observed(state, tables, state.cur, moved)
+        state = _observe(state, tables)
+        return self._decide_core(params, tables, state, txt_embeds,
+                                 txt_masks, txt_kv, t_step)
+
+    def _finish_traj(self, packed, features, state):
+        tables = self._unpack_tables(packed, features)
         r = self.rollout
         prev = r.t
         r.t = tables
         try:
             stop_node = r.final_stop_node(state)
             tn, tl = r._record_backtrack(state, stop_node)
-            return stop_node[0], tn[0], tl[0]
+            return jnp.concatenate([jnp.stack([stop_node[0], tl[0]]), tn[0]])
         finally:
             r.t = prev
-
-
-def _empty_tables(n: int, c: int, d: int) -> Tables:
-    z_nn_i = jnp.zeros((1, n, n), jnp.int32)
-    return Tables(
-        node_mask=jnp.ones((1, n), bool),
-        positions=jnp.zeros((1, n, 3), jnp.float32),
-        dist=jnp.zeros((1, n, n), jnp.float32),
-        steps=z_nn_i,      # unread in parity mode
-        next_hop=z_nn_i,   # unread in parity mode
-        cand_ids=jnp.full((1, n, c), -1, jnp.int32),
-        cand_dist=jnp.zeros((1, n, c), jnp.float32),
-        cand_view=jnp.zeros((1, n, c), jnp.int32),
-        cand_heading=jnp.zeros((1, n, c), jnp.float32),
-        cand_elevation=jnp.zeros((1, n, c), jnp.float32),
-        cand_mask=jnp.zeros((1, n, c), bool),
-        features=jnp.zeros((1, n, 36, d), jnp.float32),
-    )
 
 
 class NavSession:
@@ -303,6 +364,8 @@ class NavSession:
         self.state: EpisodeBatch | None = None
         self.t_step = 0
         self._last_moved = False
+        self._cur = -1            # host-tracked current node index
+        self._ended = False
         self._traj: list[str] = []
 
     # ------------------------------------------------------------------
@@ -319,21 +382,15 @@ class NavSession:
             self._names.append(name)
         return self._ids[name]
 
-    def _tables(self) -> Tables:
-        return Tables(
-            node_mask=jnp.asarray(np.ones((1, self.n), bool)),
-            positions=jnp.asarray(self.h_pos[None]),
-            dist=jnp.asarray(self.h_dist[None]),
-            steps=jnp.zeros((1, self.n, self.n), jnp.int32),
-            next_hop=jnp.zeros((1, self.n, self.n), jnp.int32),
-            cand_ids=jnp.asarray(self.h_cand_ids[None]),
-            cand_dist=jnp.asarray(self.h_cand_dist[None]),
-            cand_view=jnp.asarray(self.h_cand_view[None]),
-            cand_heading=jnp.asarray(self.h_cand_heading[None]),
-            cand_elevation=jnp.asarray(self.h_cand_elev[None]),
-            cand_mask=jnp.asarray((self.h_cand_ids >= 0)[None]),
-            features=self._features,
-        )
+    def _pack_mirrors(self) -> np.ndarray:
+        """All small tables as ONE f32 buffer (int fields are exact in f32
+        for < 2^24 node ids) — a single H2D instead of seven."""
+        return np.concatenate([
+            self.h_pos.ravel(), self.h_dist.ravel(),
+            self.h_cand_ids.astype(np.float32).ravel(),
+            self.h_cand_dist.ravel(),
+            self.h_cand_view.astype(np.float32).ravel(),
+            self.h_cand_heading.ravel(), self.h_cand_elev.ravel()])
 
     def _ingest(self, obs: Observation) -> int:
         """Fold an observation into the host mirrors + device features."""
@@ -402,61 +459,61 @@ class NavSession:
 
     def step(self, obs: Observation) -> NavDecision:
         """One decision: ingest the robot's observation at its current node,
-        run the fused per-step model program, return the plan."""
+        run the fused per-step device program, return the plan."""
         t0 = time.perf_counter()
-        if self.state is not None and self.state.ended[0]:
+        if self._ended:
             raise RuntimeError("episode already ended; call finish()")
         v = self._ingest(obs)
-        tables = self._tables()
         server = self.server
+        packed = jnp.asarray(self._pack_mirrors())
+        pre_len = max(len(self._traj), 1)
         if self.state is None:
-            # episode start: the gt path is unknown at serving time —
-            # goal=start is never read under feedback='argmax'
-            self.state = init_episodes(
-                tables, np.zeros((1,), np.int32), np.asarray([v], np.int32),
-                np.asarray([obs.heading], np.float32),
-                np.asarray([[v]], np.int32), np.ones((1,), np.int32),
-                server.rollout.model_dims, observed_parity=True)
+            self.state, out_vec = server._first_jit(
+                server.params, packed, self._features,
+                np.asarray([v], np.int32),
+                np.asarray([obs.heading], np.float32), *self._txt)
             self._traj = [obs.node]
         else:
-            if v != int(self.state.cur[0]):
+            if v != self._cur:
                 raise ValueError(
                     f"observation at '{obs.node}' but the session's current "
-                    f"node is '{self._names[int(self.state.cur[0])]}'")
-            self.state = server._arrive_jit(
-                tables, self.state, self.state.cur,
-                jnp.asarray([self._last_moved]))
-        pre_len = int(self.state.traj_len[0])
-        self.state, chosen, ended, action = server._decide_jit(
-            server.params, tables, self.state, self._txt[0], self._txt[1],
-            self._txt[2], jnp.int32(self.t_step))
+                    f"node is '{self._names[self._cur]}'")
+            self.state, out_vec = server._next_jit(
+                server.params, packed, self._features, self.state,
+                np.asarray([self._last_moved]),
+                np.asarray(self.t_step, np.int32), *self._txt)
         self.t_step += 1
-        chosen = int(chosen)
+        out = np.asarray(out_vec)   # the ONE per-decision D2H fetch
+        chosen, ended, action, traj_len = (int(x) for x in out[:4])
+        traj_nodes = out[4:]
         self._last_moved = chosen >= 0
-        stop = bool(ended) or chosen < 0
+        self._ended = bool(ended) or chosen < 0
         path = []
         if chosen >= 0:
-            tn = np.asarray(self.state.traj_nodes[0])
-            post_len = int(self.state.traj_len[0])
-            path = [self._names[i] for i in tn[pre_len:post_len]]
+            self._cur = chosen
+            path = [self._names[i] for i in traj_nodes[pre_len:traj_len]]
             self._traj.extend(path)
+        elif self._cur < 0:
+            self._cur = v
         latency = (time.perf_counter() - t0) * 1000.0
         return NavDecision(
-            stop=stop,
+            stop=self._ended,
             target=self._names[chosen] if chosen >= 0 else None,
-            path=path, action_index=int(action), latency_ms=latency)
+            path=path, action_index=action, latency_ms=latency)
 
     def finish(self) -> dict:
         """Backtrack to the best stop-score node (agent.py:1080-1095) and
         return the final trajectory record."""
         if self.state is None:
             raise RuntimeError("no steps taken")
-        stop_node, tn, tl = self.server._finish_jit(self._tables(), self.state)
-        tn, tl = np.asarray(tn), int(tl)
+        out = np.asarray(self.server._finish_jit(
+            jnp.asarray(self._pack_mirrors()), self._features, self.state))
+        stop_node, tl = int(out[0]), int(out[1])
+        tn = out[2:]
         pre = len(self._traj)
         backtrack = [self._names[i] for i in tn[pre:tl]]
         return {
-            "stop_node": self._names[int(stop_node)],
+            "stop_node": self._names[stop_node],
             "trajectory": self._traj + backtrack,
             "steps": self.t_step,
         }

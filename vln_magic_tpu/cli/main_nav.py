@@ -836,6 +836,7 @@ def serve(args, cfg):
                           "epoch": epoch}), flush=True)
     server = NavServer(cfg, params, max_nodes=args.serve_max_nodes,
                        max_cands=args.serve_max_cands, model=model)
+    server.warmup()   # no mid-episode compiles in a robot control loop
     d = cfg.model.image_feat_size
 
     def _feats(x):
