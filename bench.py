@@ -320,6 +320,11 @@ def main():
             jax.profiler.stop_trace()
         trainer.params, trainer.opt_state = params, opt_state
         ms = wall / iters * 1000.0
+        if args.roofline:
+            t0_, b0 = dev[0]
+            print_roofline(trainer._steps[t0_],
+                           (params, opt_state, trainer.t_params, b0, keys[0]),
+                           ms, f"pretrain_step[{t0_}]")
         print(f"loss={float(m['loss']):.3f} batch={batch} iters={iters}; "
               f"device {batch / (ms / 1000):.1f} examples/s; host batch "
               f"build {build_ms:.0f} ms/batch on this box (overlapped by "

@@ -159,6 +159,51 @@ def test_cli_serve_protocol(tmp_path, monkeypatch, capsys):
     assert fin["steps"] == 1
 
 
+def test_serving_save_restore_mid_episode(setup, tmp_path):
+    """Crash recovery: a session saved after step 1 and restored on a FRESH
+    server must continue the episode with decisions identical to the
+    uninterrupted run (and the same final trajectory)."""
+    from vln_magic_tpu.agent.serving import NavSession
+
+    world, cfg, nav, items, server = setup
+    # pick an item whose episode runs >= 2 steps uninterrupted
+    for item in items:
+        sess_ref, ref_actions, _ = serve_episode(world, cfg, server, item)
+        if len(ref_actions) >= 2 and ref_actions[0] >= 0:
+            break
+    else:
+        pytest.skip("no multi-step episode in the fixture items")
+    ref_final = sess_ref.finish()
+
+    g = world.graphs[item["scan_idx"]]
+    sess = server.new_session(item["instr_encoding"])
+    cur = int(item["path_idx"][0])
+    dec = sess.step(replay_observation(world, item["scan_idx"], cur,
+                                       float(item["heading"])))
+    cur = g.index[dec.target]
+    path = str(tmp_path / "session.msgpack")
+    sess.save(path)
+
+    server2 = NavServer(cfg, nav.params,
+                        max_nodes=world.graphs[0].num_nodes,
+                        max_cands=world.tables.cand_ids.shape[2],
+                        model=nav.model)
+    resumed = NavSession.restore(server2, path)
+    actions = [g.index[dec.target]]
+    for _ in range(cfg.env.max_action_len - 1):
+        dec = resumed.step(replay_observation(world, item["scan_idx"], cur,
+                                              float(item["heading"])))
+        if dec.target is None:
+            actions.append(-1)
+        else:
+            cur = g.index[dec.target]
+            actions.append(cur)
+        if dec.stop:
+            break
+    assert actions == ref_actions
+    assert resumed.finish() == ref_final
+
+
 def test_serving_node_budget(setup):
     world, cfg, nav, items, server = setup
     item = items[0]

@@ -334,6 +334,7 @@ class NavSession:
     def __init__(self, server: NavServer, instr_encoding: np.ndarray):
         self.server = server
         self.cfg = server.cfg
+        self._instr = np.asarray(instr_encoding)
         n, c = server.n, server.c
         self.n, self.c = n, c
         # host mirrors of the incremental world (tiny); features stay on
@@ -500,6 +501,74 @@ class NavSession:
             stop=self._ended,
             target=self._names[chosen] if chosen >= 0 else None,
             path=path, action_index=action, latency_ms=latency)
+
+    # ------------------------------------------------------------------
+    # crash recovery (the serving face of SURVEY §5.3: a robot process can
+    # die mid-episode; the session is a few MB of state)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str):
+        """Persist the whole session (map mirrors, device episode state,
+        trajectory record) so a crashed control process can resume the
+        episode exactly where it stopped."""
+        import jax.tree_util as jtu
+        from flax import serialization
+
+        blob = {
+            "instr": self._instr,
+            "state": (None if self.state is None
+                      else jtu.tree_map(np.asarray,
+                                        serialization.to_state_dict(
+                                            self.state))),
+            "features": np.asarray(self._features),
+            "mirrors": {
+                "pos": self.h_pos, "dist": self.h_dist,
+                "cand_ids": self.h_cand_ids, "cand_dist": self.h_cand_dist,
+                "cand_view": self.h_cand_view,
+                "cand_heading": self.h_cand_heading,
+                "cand_elev": self.h_cand_elev,
+            },
+            "names": list(self._names),
+            "traj": list(self._traj),
+            "t_step": self.t_step,
+            "last_moved": self._last_moved,
+            "cur": self._cur,
+            "ended": self._ended,
+        }
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(blob))
+
+    @classmethod
+    def restore(cls, server: NavServer, path: str) -> "NavSession":
+        """Rebuild a session saved by :meth:`save` on a (re)started server.
+        The instruction is re-encoded deterministically; everything else is
+        restored verbatim."""
+        import jax.tree_util as jtu
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            blob = serialization.msgpack_restore(f.read())
+        sess = cls(server, np.asarray(blob["instr"]))
+        m = blob["mirrors"]
+        sess.h_pos[:] = m["pos"]
+        sess.h_dist[:] = m["dist"]
+        sess.h_cand_ids[:] = m["cand_ids"]
+        sess.h_cand_dist[:] = m["cand_dist"]
+        sess.h_cand_view[:] = m["cand_view"]
+        sess.h_cand_heading[:] = m["cand_heading"]
+        sess.h_cand_elev[:] = m["cand_elev"]
+        sess._features = jnp.asarray(blob["features"])
+        if blob["state"] is not None:
+            sess.state = EpisodeBatch(
+                **jtu.tree_map(jnp.asarray, blob["state"]))
+        sess._names = [str(x) for x in blob["names"]]
+        sess._ids = {n: i for i, n in enumerate(sess._names)}
+        sess._traj = [str(x) for x in blob["traj"]]
+        sess.t_step = int(blob["t_step"])
+        sess._last_moved = bool(blob["last_moved"])
+        sess._cur = int(blob["cur"])
+        sess._ended = bool(blob["ended"])
+        return sess
 
     def finish(self) -> dict:
         """Backtrack to the best stop-score node (agent.py:1080-1095) and
