@@ -179,11 +179,13 @@ def main():
                     help="rematerialize rollout steps in the backward "
                          "(raises the trainable batch ceiling)")
     ap.add_argument("--remat_policy", default="dots",
-                    choices=["full", "dots"],
-                    help="dots (default) keeps MXU outputs resident and "
-                         "recomputes elementwise only — measured 14% faster "
-                         "than full-step recompute at the honest shape and "
-                         "still fits v5e HBM; full = recompute everything")
+                    choices=["full", "dots", "dots_all"],
+                    help="dots (default) keeps weight-stationary MXU outputs "
+                         "resident and recomputes elementwise only — measured "
+                         "14% faster than full-step recompute at the honest "
+                         "shape and still fits v5e HBM; dots_all also saves "
+                         "batch-dim dots (attention scores — least recompute, "
+                         "most HBM); full = recompute everything")
     ap.add_argument("--pallas", action="store_true", default=False,
                     help="fused pallas attention (wins for many-head models; "
                          "the 2-head MAGIC-S is faster on plain XLA)")
@@ -221,6 +223,11 @@ def main():
                     help="lax.scan unroll factor for the rollout time loop "
                          "(A/B: cross-step XLA fusion on the dispatch-bound "
                          "step; use divisors of T=15: 3, 5, 15)")
+    ap.add_argument("--feat_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="feature-table dtype: bfloat16 halves the [S,N,36,D] "
+                         "table's HBM footprint/traffic (3.4 GB -> 1.7 GB at "
+                         "Matterport scale)")
     ap.add_argument("--scans", type=int, default=None,
                     help="synthetic scan count (default 3; R2R trains on "
                          "~61 Matterport scans, ~90 total — use 61 to "
@@ -259,8 +266,11 @@ def main():
         build_cfg(args, args.smoke)
     if args.scans:
         scans = args.scans
-    world = make_synthetic_world(num_scans=scans, nodes_per_scan=nodes,
-                                 feat_dim=feat, seed=0)
+    import ml_dtypes
+    world = make_synthetic_world(
+        num_scans=scans, nodes_per_scan=nodes, feat_dim=feat, seed=0,
+        feat_dtype=(ml_dtypes.bfloat16 if args.feat_dtype == "bfloat16"
+                    else np.float32))
     rng = np.random.default_rng(0)
     # episode lengths: R2R gt paths are 4-7 hops; RxR paths are much longer
     # (avg ~8, up to ~15 within the 28-action budget)

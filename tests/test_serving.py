@@ -124,6 +124,7 @@ def test_cli_serve_protocol(tmp_path, monkeypatch, capsys):
     def feats():
         return rng.normal(size=(36, 16)).astype(np.float32).tolist()
 
+    blob = str(tmp_path / "sess.msgpack")
     msgs = [
         {"type": "session", "instruction": list(range(4, 20))},
         {"type": "observation", "node": "a", "position": [0, 0, 0],
@@ -131,6 +132,8 @@ def test_cli_serve_protocol(tmp_path, monkeypatch, capsys):
              {"node": "b", "position": [2.0, 0, 0], "dist": 2.0},
              {"node": "c", "position": [0, 2.0, 0], "dist": 2.0}]},
         {"type": "bogus"},
+        {"type": "save", "path": blob},      # mid-episode checkpoint
+        {"type": "restore", "path": blob},   # and resume in-place
         {"type": "finish"},
         {"type": "quit"},
     ]
@@ -154,6 +157,10 @@ def test_cli_serve_protocol(tmp_path, monkeypatch, capsys):
     assert isinstance(dec["stop"], bool)
     if not dec["stop"]:
         assert dec["target"] in ("b", "c")
+    saved = out[kinds.index("saved")]
+    assert saved["path"] == blob and saved["steps"] == 1
+    resumed = out[len(kinds) - 1 - kinds[::-1].index("ready")]
+    assert resumed.get("resumed") is True and resumed["steps"] == 1
     fin = out[kinds.index("final")]
     assert fin["trajectory"][0] == "a"
     assert fin["steps"] == 1

@@ -1380,10 +1380,14 @@ class Rollout:
             # recompute the step in the backward pass instead of keeping
             # both models' per-step activations live across the whole scan
             # (prevent_cse=False is the scan-safe setting).  remat="dots"
-            # keeps MXU outputs resident and recomputes only elementwise
-            # work — less recompute at a higher HBM floor.
-            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                      if remat == "dots" else None)
+            # keeps weight-stationary MXU outputs resident and recomputes
+            # elementwise work; "dots_all" also keeps batch-dim dots
+            # (attention scores/outputs) — least recompute, highest HBM
+            # floor.  Pick per shape/batch (docs/PERF.md decisions table).
+            policy = {
+                "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "dots_all": jax.checkpoint_policies.dots_saveable,
+            }.get(remat)
             step_fn = jax.checkpoint(step_fn, prevent_cse=False,
                                      policy=policy)
         (state, _, ml_loss, t_ml_loss, kd_acc, t_kd_acc), recs = jax.lax.scan(

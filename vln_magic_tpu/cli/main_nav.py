@@ -808,9 +808,16 @@ def serve(args, cfg):
           "path": [node...], "latency_ms": float}
       -> {"type": "finish"}
       <- {"type": "final", "stop_node": str, "trajectory": [...], "steps": N}
+      -> {"type": "save", "path": str}        # persist the live session
+      <- {"type": "saved", "path": str, "steps": N}
+      -> {"type": "restore", "path": str}     # resume a saved session
+      <- {"type": "ready", "resumed": true, "steps": N}
       -> {"type": "quit"}
 
     The model compiles once at startup; every episode session reuses it.
+    ``save``/``restore`` are the crash-recovery face of SURVEY §5.3: a robot
+    control process can checkpoint its episode mid-flight and a restarted
+    server continues it with identical decisions (NavSession.save/restore).
     """
     import base64
     import sys as _sys
@@ -818,7 +825,7 @@ def serve(args, cfg):
     import jax
     import jax.numpy as jnp
 
-    from ..agent.serving import Candidate, NavServer, Observation
+    from ..agent.serving import Candidate, NavServer, NavSession, Observation
     from ..models import DualScaleVLNBert
     from ..models.vlnbert import dummy_step_batch
     from ..utils.checkpoint import load_torch_checkpoint
@@ -875,6 +882,14 @@ def serve(args, cfg):
                 print(json.dumps({"type": "final", **sess.finish()}),
                       flush=True)
                 sess = None
+            elif kind == "save":
+                sess.save(msg["path"])
+                print(json.dumps({"type": "saved", "path": msg["path"],
+                                  "steps": sess.t_step}), flush=True)
+            elif kind == "restore":
+                sess = NavSession.restore(server, msg["path"])
+                print(json.dumps({"type": "ready", "resumed": True,
+                                  "steps": sess.t_step}), flush=True)
             elif kind == "quit":
                 break
             else:

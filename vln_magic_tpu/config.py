@@ -222,8 +222,10 @@ class TrainConfig:
     remat: bool = False
     # remat policy: "full" recomputes the whole step in the backward;
     # "dots" (jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-    # keeps MXU outputs resident and recomputes only the cheap elementwise
-    # work — less recompute, more HBM.  Pick per shape/batch.
+    # keeps weight-stationary MXU outputs resident and recomputes only the
+    # cheap elementwise work; "dots_all" (dots_saveable) additionally keeps
+    # batch-dim dots (attention scores/outputs) — least recompute, highest
+    # HBM floor.  Pick per shape/batch.
     remat_policy: str = "full"
     # parameter freezing (reference parser.py declares fix_lang_embedding /
     # fix_local_branch / fix_pano_embedding but its released code never
