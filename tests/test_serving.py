@@ -211,6 +211,93 @@ def test_serving_save_restore_mid_episode(setup, tmp_path):
     assert resumed.finish() == ref_final
 
 
+def test_serving_bundle_roundtrip(setup, tmp_path):
+    """AOT deployment bundle: a server exported with export_bundle and
+    reloaded with from_bundle (deserialized StableHLO programs — the flax
+    model is never traced) must reproduce the live server's decision
+    sequence, final trajectory, and crash-recovery behaviour exactly."""
+    from vln_magic_tpu.agent.serving import NavSession
+
+    world, cfg, nav, items, server = setup
+    bundle = str(tmp_path / "bundle")
+    server.export_bundle(bundle)
+    loaded = NavServer.from_bundle(bundle)
+    assert loaded.cfg.env.max_instr_len == cfg.env.max_instr_len
+    loaded.warmup()   # every exported program executes
+
+    for item in items:
+        sess_a, act_a, _ = serve_episode(world, cfg, server, item)
+        sess_b, act_b, _ = serve_episode(world, cfg, loaded, item)
+        assert act_a == act_b
+        assert sess_a.finish() == sess_b.finish()
+
+    # sessions saved on the live server resume on the bundle server
+    for item in items:
+        sess_ref, ref_actions, _ = serve_episode(world, cfg, server, item)
+        if len(ref_actions) >= 2 and ref_actions[0] >= 0:
+            break
+    else:
+        pytest.skip("no multi-step episode in the fixture items")
+    ref_final = sess_ref.finish()
+    g = world.graphs[item["scan_idx"]]
+    sess = server.new_session(item["instr_encoding"])
+    cur = int(item["path_idx"][0])
+    dec = sess.step(replay_observation(world, item["scan_idx"], cur,
+                                       float(item["heading"])))
+    cur = g.index[dec.target]
+    path = str(tmp_path / "session.msgpack")
+    sess.save(path)
+    resumed = NavSession.restore(loaded, path)
+    actions = [g.index[dec.target]]
+    for _ in range(cfg.env.max_action_len - 1):
+        dec = resumed.step(replay_observation(world, item["scan_idx"], cur,
+                                              float(item["heading"])))
+        if dec.target is None:
+            actions.append(-1)
+        else:
+            cur = g.index[dec.target]
+            actions.append(cur)
+        if dec.stop:
+            break
+    assert actions == ref_actions
+    assert resumed.finish() == ref_final
+
+
+def test_serving_bundle_int8(setup, tmp_path):
+    """Quantized deployment bundle: weights stored per-channel int8 shrink
+    the artifact ~4x; from_bundle dequantizes, sessions run end-to-end, and
+    the weight rounding stays within the int8 error envelope."""
+    import os
+
+    from vln_magic_tpu.utils.quantize import (dequantize_params,
+                                              quantize_params)
+
+    world, cfg, nav, items, server = setup
+    full = str(tmp_path / "bundle_f32")
+    small = str(tmp_path / "bundle_int8")
+    server.export_bundle(full)
+    server.export_bundle(small, quantize=True)
+    sz = lambda p: os.path.getsize(os.path.join(p, "params.msgpack"))
+    assert sz(small) < 0.45 * sz(full)   # ~4x on the big kernels
+
+    # rounding envelope: per-channel symmetric int8 on these kernels
+    deq = dequantize_params(quantize_params(
+        jax.tree.map(np.asarray, nav.params)))
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(nav.params),
+            jax.tree_util.tree_leaves_with_path(deq)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = np.linalg.norm(a)
+        if denom > 0:
+            assert np.linalg.norm(a - b) / denom < 0.02, pa
+
+    loaded = NavServer.from_bundle(small)
+    sess, actions, _ = serve_episode(world, cfg, loaded, items[0])
+    final = sess.finish()
+    assert final["trajectory"][0] is not None
+    assert len(actions) >= 1
+
+
 def test_serving_node_budget(setup):
     world, cfg, nav, items, server = setup
     item = items[0]

@@ -208,6 +208,17 @@ def parse_args(argv=None):
     # --mode serve knobs (online robot control loop, agent/serving.py)
     p.add_argument("--serve_max_nodes", type=int, default=64,
                    help="node-slot budget of an online serving session")
+    p.add_argument("--serve_bundle", type=str, default=None,
+                   help="load the serving endpoint from an AOT deployment "
+                        "bundle directory (NavServer.export_bundle) instead "
+                        "of tracing the model; ignores --resume_file")
+    p.add_argument("--export_serve_bundle", type=str, default=None,
+                   help="write an AOT serving bundle to this directory and "
+                        "exit (use with --mode serve; --resume_file supplies "
+                        "the weights)")
+    p.add_argument("--serve_bundle_int8", action="store_true", default=False,
+                   help="store the exported bundle's weights per-channel "
+                        "int8 (~4x smaller artifact; dequantized at load)")
     p.add_argument("--serve_max_cands", type=int, default=10,
                    help="candidate-slot budget per node in serving mode")
 
@@ -830,19 +841,34 @@ def serve(args, cfg):
     from ..models.vlnbert import dummy_step_batch
     from ..utils.checkpoint import load_torch_checkpoint
 
-    model = DualScaleVLNBert(cfg.model,
-                             dtype=jnp.dtype(cfg.train.compute_dtype))
-    batch = dummy_step_batch(cfg.model, batch_size=1, txt_len=8,
-                             pano_len=args.serve_max_cands + 36,
-                             gmap_len=cfg.env.max_gmap_len)
-    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.train.seed), batch)
-    if args.resume_file:
-        params, epoch, _, _ = load_torch_checkpoint(args.resume_file,
-                                                    template=params)
-        print(json.dumps({"type": "loaded", "ckpt": args.resume_file,
-                          "epoch": epoch}), flush=True)
-    server = NavServer(cfg, params, max_nodes=args.serve_max_nodes,
-                       max_cands=args.serve_max_cands, model=model)
+    if args.serve_bundle:
+        # AOT path: programs + params + config come from the bundle; the
+        # flax model is never traced (robot-host startup)
+        server = NavServer.from_bundle(args.serve_bundle)
+        cfg = server.cfg
+        print(json.dumps({"type": "loaded", "bundle": args.serve_bundle}),
+              flush=True)
+    else:
+        model = DualScaleVLNBert(cfg.model,
+                                 dtype=jnp.dtype(cfg.train.compute_dtype))
+        batch = dummy_step_batch(cfg.model, batch_size=1, txt_len=8,
+                                 pano_len=args.serve_max_cands + 36,
+                                 gmap_len=cfg.env.max_gmap_len)
+        params = jax.jit(model.init)(jax.random.PRNGKey(cfg.train.seed),
+                                     batch)
+        if args.resume_file:
+            params, epoch, _, _ = load_torch_checkpoint(args.resume_file,
+                                                        template=params)
+            print(json.dumps({"type": "loaded", "ckpt": args.resume_file,
+                              "epoch": epoch}), flush=True)
+        server = NavServer(cfg, params, max_nodes=args.serve_max_nodes,
+                           max_cands=args.serve_max_cands, model=model)
+    if args.export_serve_bundle:
+        server.export_bundle(args.export_serve_bundle,
+                             quantize=args.serve_bundle_int8)
+        print(json.dumps({"type": "exported",
+                          "bundle": args.export_serve_bundle}), flush=True)
+        return
     server.warmup()   # no mid-episode compiles in a robot control loop
     d = cfg.model.image_feat_size
 

@@ -323,6 +323,45 @@ _FLAG_MAP = {
 }
 
 
+def config_to_dict(cfg: MagicConfig) -> dict:
+    """JSON-serializable dict of the full config tree (the counterpart of
+    the reference's ``training_args.json`` dump, main_nav.py:170)."""
+    return dataclasses.asdict(cfg)
+
+
+def config_from_dict(d: dict) -> MagicConfig:
+    """Rebuild a :class:`MagicConfig` from :func:`config_to_dict` output
+    (e.g. read back from JSON).  Tuple-typed fields are re-coerced from the
+    lists JSON produces; unknown keys are ignored for forward compat."""
+    section_types = {"model": ModelConfig, "teacher_model": ModelConfig,
+                     "env": EnvConfig, "train": TrainConfig,
+                     "distill": DistillConfig}
+
+    def build(cls, dd):
+        if dd is None:
+            return None
+        kwargs = {}
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        for name, value in dd.items():
+            f = fields.get(name)
+            if f is None:
+                continue
+            default = (f.default if f.default is not dataclasses.MISSING
+                       else f.default_factory()
+                       if f.default_factory is not dataclasses.MISSING
+                       else None)
+            if isinstance(default, tuple) and isinstance(value, list):
+                value = tuple(value)
+            kwargs[name] = value
+        return cls(**kwargs)
+
+    top = {}
+    for name, value in d.items():
+        if name in section_types:
+            top[name] = build(section_types[name], value)
+    return MagicConfig(**top)
+
+
 def from_reference_flags(flags: dict) -> MagicConfig:
     """Build a :class:`MagicConfig` from a dict of reference-named flags.
 
