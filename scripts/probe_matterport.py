@@ -77,8 +77,15 @@ def main():
                  if args.img_ft_file and os.path.exists(args.img_ft_file)
                  else HashFeatureStore(args.feat_dim))
         graphs = [load_connectivity(args.connectivity_dir, s) for s in scans]
+        scanvp_cands = None
+        cands_path = os.path.join(args.anno_dir,
+                                  "scanvp_candview_relangles.json")
+        if os.path.exists(cands_path):
+            from vln_magic_tpu.env.world import load_scanvp_candidates
+
+            scanvp_cands = load_scanvp_candidates(cands_path)
         world = World(graphs, store.feature_fn(), args.feat_dim,
-                      feat_dtype=feat_dtype)
+                      feat_dtype=feat_dtype, scanvp_cands=scanvp_cands)
         items = attach_path_indices(items, world)[: args.batch]
         source = f"real ({len(scans)} scans)"
     else:

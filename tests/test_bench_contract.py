@@ -18,7 +18,10 @@ def test_bench_smoke_json_contract():
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert len(lines) == 1, out.stdout
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
+    # median-of-N honesty fields (VERDICT r3 weak #5): the headline is a
+    # median block and the JSON carries the spread
+    assert rec["n_runs"] >= 1 and rec["spread_pct"] >= 0
     assert rec["metric"] == "nav_steps_per_sec_per_chip"
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
 

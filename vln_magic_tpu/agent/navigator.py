@@ -90,6 +90,26 @@ class Navigator:
             params = self.init_params(rng)
         self.params = params
         self._jit_cache = {}
+        self.mesh = None
+
+    def use_mesh(self, mesh):
+        """Shard evaluation over a device mesh: episode batches split on
+        'dp', params TP/replicated, tables replicated — the device-sharded
+        eval the reference gets from per-rank env slices + all_gather
+        (env.py:126-134, main_nav.py:606-607), here as one program over
+        ICI."""
+        from ..parallel import replicate, shard_params
+
+        dp = mesh.shape.get("dp", 1)
+        if self.cfg.train.batch_size % dp != 0:
+            raise ValueError(
+                f"eval batch_size {self.cfg.train.batch_size} not "
+                f"divisible by dp={dp}")
+        self.mesh = mesh
+        self.params = shard_params(self.params, mesh)
+        self.tables = replicate(self.tables, mesh)
+        self.rollout.t = self.tables
+        return self
 
     def init_params(self, rng):
         from ..models.vlnbert import dummy_step_batch
@@ -123,10 +143,23 @@ class Navigator:
             self.tables, self.world, items, self.rollout.model_dims,
             observed_parity=self.cfg.env.observed_graph_parity)
         fn = self._run_fn(feedback, None, True, ensemble_n)
-        state, aux = fn(self.params, self.tables, state, jnp.asarray(txt_ids),
-                        jnp.asarray(txt_masks),
-                        rng if rng is not None else jax.random.PRNGKey(0),
-                        zdicts or {})
+        txt_ids, txt_masks = jnp.asarray(txt_ids), jnp.asarray(txt_masks)
+        if self.mesh is not None:
+            from ..parallel import shard_batch, shard_pytree_batch
+
+            state = shard_pytree_batch(state, self.mesh)
+            txt_ids = shard_batch(txt_ids, self.mesh)
+            txt_masks = shard_batch(txt_masks, self.mesh)
+            ctx = jax.set_mesh(self.mesh)
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            state, aux = fn(self.params, self.tables, state, txt_ids,
+                            txt_masks,
+                            rng if rng is not None else jax.random.PRNGKey(0),
+                            zdicts or {})
         return state, aux
 
     def evaluate(self, items, feedback="argmax", batch_size=None,

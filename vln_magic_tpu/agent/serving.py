@@ -133,14 +133,26 @@ class NavServer:
     device programs, shared across every episode session.
 
     ``cfg.env.observed_graph_parity`` is forced on: serving has exactly the
-    observed-subgraph information state of the reference's GraphMap."""
+    observed-subgraph information state of the reference's GraphMap.
 
-    def __init__(self, cfg: MagicConfig, params, max_nodes: int = 64,
+    ``max_nodes`` defaults from ``cfg.env.max_gmap_len`` (minus the
+    [stop]/[mem] token slots) so a server follows the dataset's own node
+    budget — R2R 128, RxR 208 — instead of a literal that a large site
+    would exhaust mid-episode."""
+
+    def __init__(self, cfg: MagicConfig, params, max_nodes: int | None = None,
                  max_cands: int = 10, zdicts: dict | None = None, model=None):
+        from flax import serialization
+
         cfg = dataclasses.replace(
             cfg, env=dataclasses.replace(cfg.env, observed_graph_parity=True))
         self.cfg = cfg
-        self.params = params
+        if max_nodes is None:
+            max_nodes = max(cfg.env.max_gmap_len - 2, 2)
+        # canonicalize to plain nested dicts (what msgpack_restore yields) so
+        # an exported program's calling convention matches a bundle reload
+        # even when the caller passed a FrozenDict
+        self.params = serialization.to_state_dict(params)
         self.n, self.c = max_nodes, max_cands
         self.model = model or DualScaleVLNBert(
             cfg.model, dtype=jnp.dtype(cfg.train.compute_dtype))
@@ -260,26 +272,42 @@ class NavServer:
             host_params = quantize_params(host_params)
         with open(os.path.join(path, "params.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(host_params))
+        import jaxlib
+
         with open(os.path.join(path, "meta.json"), "w") as f:
             _json.dump({
                 "format": "vln_magic_tpu.serving_bundle.v1",
                 "config": config_to_dict(self.cfg),
                 "max_nodes": self.n, "max_cands": self.c,
+                # platforms=None pins the StableHLO to THIS process's
+                # backend; record it so a mismatched target host gets a
+                # diagnosable load error instead of a deserialize failure
+                # (the exact field MULTICHIP_r01.json's libtpu AOT
+                # version-mismatch lacked)
                 "platforms": list(platforms) if platforms else None,
+                "export_backend": jax.default_backend(),
                 "quantized": bool(quantize),
+                "zdicts_baked": bool(self._zdicts),
                 "jax_version": jax.__version__,
+                "jaxlib_version": jaxlib.__version__,
             }, f, indent=2)
 
     @classmethod
-    def from_bundle(cls, path: str, zdicts: dict | None = None) -> "NavServer":
+    def from_bundle(cls, path: str) -> "NavServer":
         """Build a serving endpoint from an :meth:`export_bundle` directory.
         The five device programs come from the serialized StableHLO — the
         flax model is never traced (its Python object is still constructed
         so shape metadata and session plumbing work, which is milliseconds).
+
+        Any z-dicts in use at export time are baked into the StableHLO as
+        closure constants (``meta.json`` records ``zdicts_baked``); a bundle
+        server cannot take different ones, which is why this method accepts
+        no ``zdicts`` argument.
         """
         import json as _json
         import os
 
+        import jaxlib
         from flax import serialization
         from jax import export as jexp
 
@@ -290,6 +318,20 @@ class NavServer:
             meta = _json.load(f)
         if meta.get("format") != "vln_magic_tpu.serving_bundle.v1":
             raise ValueError(f"not a serving bundle: {path}")
+        # diagnosable environment checks BEFORE touching the StableHLO: a
+        # platform/version mismatch otherwise surfaces as an opaque
+        # deserialize/compile failure on the robot host
+        backend = jax.default_backend()
+        plats = meta.get("platforms")
+        exported_for = [p.lower() for p in plats] if plats else \
+            ([meta["export_backend"]] if meta.get("export_backend") else None)
+        if exported_for is not None and backend not in exported_for:
+            raise RuntimeError(
+                f"serving bundle {path} was lowered for platform(s) "
+                f"{exported_for} but this host's backend is {backend!r}; "
+                f"re-export with export_bundle(platforms=(..., "
+                f"{backend!r})) / --serve_bundle_platforms")
+        versions = (meta.get("jax_version"), meta.get("jaxlib_version"))
         cfg = config_from_dict(meta["config"])
         with open(os.path.join(path, "params.msgpack"), "rb") as f:
             params = serialization.msgpack_restore(f.read())
@@ -297,11 +339,20 @@ class NavServer:
             from ..utils.quantize import dequantize_params
             params = jax.tree.map(np.asarray, dequantize_params(params))
         srv = cls(cfg, params, max_nodes=int(meta["max_nodes"]),
-                  max_cands=int(meta["max_cands"]), zdicts=zdicts)
+                  max_cands=int(meta["max_cands"]))
 
         def loaded(name, donate=None):
             with open(os.path.join(path, f"{name}.stablehlo"), "rb") as f:
-                exp = jexp.deserialize(bytearray(f.read()))
+                raw = bytearray(f.read())
+            try:
+                exp = jexp.deserialize(raw)
+            except Exception as e:
+                raise RuntimeError(
+                    f"failed to deserialize program {name!r} of bundle "
+                    f"{path} (exported with jax={versions[0]} "
+                    f"jaxlib={versions[1]}; this host runs "
+                    f"jax={jax.__version__} jaxlib={jaxlib.__version__}): "
+                    f"{e}") from e
             return (jax.jit(exp.call, donate_argnums=donate)
                     if donate else jax.jit(exp.call))
 

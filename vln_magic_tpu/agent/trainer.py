@@ -204,6 +204,11 @@ class Trainer:
                 self.t_opt_state = self.t_opt.init(self.t_params)
         self._step_fn = None
         self._ability_grad_fns = {}
+        # device mesh for multi-chip training (the reference's default mode
+        # is DDP, main_nav.py:681 init_distributed; here: episode batches
+        # shard over 'dp', params Megatron-TP over 'mp'/replicated, XLA
+        # inserts the gradient psum over ICI).  Set via use_mesh().
+        self.mesh = None
         # per-ability gradient magnitudes for the 'grad' MKRW mode, order
         # (txt, img, local, global, action); EMA-updated every
         # aw_update_iter (main_nav.py:309-320,446-455; the accumulator
@@ -436,6 +441,39 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5))
 
+    def use_mesh(self, mesh):
+        """Shard training over a device mesh: params tensor-parallel over
+        'mp' / replicated, optimizer states re-initialized against the
+        sharded params, world tables replicated, and every episode batch
+        dp-sharded in train_step (the reference's DDP default,
+        main_nav.py:681 + agent_base.py:114-116, as shardings XLA turns
+        into ICI collectives).  The global batch size must divide the dp
+        axis."""
+        from ..parallel import replicate, shard_params
+
+        dp = mesh.shape.get("dp", 1)
+        if self.cfg.train.batch_size % dp != 0:
+            raise ValueError(
+                f"global batch_size {self.cfg.train.batch_size} not "
+                f"divisible by dp={dp}; the CLI scales batch_size by dp "
+                f"(per-chip batch x devices, DDP semantics)")
+        self.mesh = mesh
+        self.params = shard_params(self.params, mesh)
+        self.critic_params = shard_params(self.critic_params, mesh)
+        # optimizer states are param-shaped trees (mu/nu/accumulators end in
+        # the same .../<layer>/kernel paths), so the same partition rules
+        # apply — shard in place rather than re-init, preserving any state a
+        # checkpoint restore already loaded (call use_mesh AFTER loads)
+        self.opt_state = shard_params(self.opt_state, mesh)
+        self.critic_opt_state = shard_params(self.critic_opt_state, mesh)
+        if self.t_params is not None:
+            self.t_params = shard_params(self.t_params, mesh)
+            if self.t_opt_state is not None:
+                self.t_opt_state = shard_params(self.t_opt_state, mesh)
+        self.tables = replicate(self.tables, mesh)
+        self.rollout.t = self.tables
+        return self
+
     def train_step(self, items, zdicts=None, aug=False):
         if self._step_fn is None:
             self._step_fn = self._make_step()
@@ -447,14 +485,26 @@ class Trainer:
             observed_parity=self.cfg.env.observed_graph_parity,
             aug=aug and self.tables.aug_features is not None)
         self.rng, k = jax.random.split(self.rng)
-        (self.params, self.opt_state, self.critic_params,
-         self.critic_opt_state, self.t_params, self.t_opt_state,
-         metrics) = self._step_fn(
-            self.params, self.opt_state, self.critic_params,
-            self.critic_opt_state, self.t_params, self.t_opt_state,
-            self.tables, state0, jnp.asarray(txt_ids),
-            jnp.asarray(txt_masks), k, jnp.asarray(self.ability_grads),
-            zdicts)
+        txt_ids, txt_masks = jnp.asarray(txt_ids), jnp.asarray(txt_masks)
+        if self.mesh is not None:
+            from ..parallel import shard_batch, shard_pytree_batch
+
+            state0 = shard_pytree_batch(state0, self.mesh)
+            txt_ids = shard_batch(txt_ids, self.mesh)
+            txt_masks = shard_batch(txt_masks, self.mesh)
+            ctx = jax.set_mesh(self.mesh)
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            (self.params, self.opt_state, self.critic_params,
+             self.critic_opt_state, self.t_params, self.t_opt_state,
+             metrics) = self._step_fn(
+                self.params, self.opt_state, self.critic_params,
+                self.critic_opt_state, self.t_params, self.t_opt_state,
+                self.tables, state0, txt_ids, txt_masks, k,
+                jnp.asarray(self.ability_grads), zdicts)
         self.iteration += 1
         return {k: float(v) for k, v in metrics.items()}
 

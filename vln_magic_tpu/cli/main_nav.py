@@ -123,6 +123,18 @@ def parse_args(argv=None):
     p.add_argument("--world_size", type=int, default=1)       # dp size hint
     p.add_argument("--local_rank", type=int, default=-1)      # mesh replaces ranks
     p.add_argument("--node_rank", type=int, default=0)
+    # multi-chip mesh (framework flags; the reference's counterpart is
+    # torch.distributed.launch + DDP, main_nav.py:681, agent_base.py:114).
+    # --dp default: every local device on an accelerator backend, 1 on CPU
+    # (virtual CPU meshes are a test artifact — opt in with an explicit
+    # --dp).  --batch_size stays PER-CHIP, DDP semantics: the global batch
+    # is batch_size x dp.
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel mesh axis (episode-batch sharding); "
+                        "default: jax.device_count()/mp on TPU, 1 on CPU")
+    p.add_argument("--mp", type=int, default=1,
+                   help="tensor/model-parallel mesh axis (Megatron-style "
+                        "column/row kernel splits, parallel/sharding.py)")
     p.add_argument("--num_workers", type=int, default=0)      # tables, no loaders
     p.add_argument("--enc_full_graph", action="store_true", default=True)
     p.add_argument("--fusion", default="dynamic",
@@ -206,12 +218,16 @@ def parse_args(argv=None):
     # none); the rewrite applies only when set explicitly there
     p.add_argument("--synthetic_feat_dim", type=int, default=None)
     # --mode serve knobs (online robot control loop, agent/serving.py)
-    p.add_argument("--serve_max_nodes", type=int, default=64,
-                   help="node-slot budget of an online serving session")
+    p.add_argument("--serve_max_nodes", type=int, default=None,
+                   help="node-slot budget of an online serving session; "
+                        "default follows the dataset's --max_gmap_len")
     p.add_argument("--serve_bundle", type=str, default=None,
                    help="load the serving endpoint from an AOT deployment "
-                        "bundle directory (NavServer.export_bundle) instead "
-                        "of tracing the model; ignores --resume_file")
+                        "bundle directory (NavServer.export_bundle).  The "
+                        "bundle pins the FULL config and slot budgets: "
+                        "--resume_file, --serve_max_nodes/--serve_max_cands, "
+                        "--fusion and every other model/env flag are ignored "
+                        "(a warning is printed if passed)")
     p.add_argument("--export_serve_bundle", type=str, default=None,
                    help="write an AOT serving bundle to this directory and "
                         "exit (use with --mode serve; --resume_file supplies "
@@ -219,10 +235,19 @@ def parse_args(argv=None):
     p.add_argument("--serve_bundle_int8", action="store_true", default=False,
                    help="store the exported bundle's weights per-channel "
                         "int8 (~4x smaller artifact; dequantized at load)")
+    p.add_argument("--serve_bundle_platforms", type=str, default=None,
+                   help="comma-separated lowering targets for "
+                        "--export_serve_bundle (e.g. 'cpu,tpu'); default "
+                        "pins the bundle to THIS process's backend "
+                        "(recorded in meta.json — a mismatched robot host "
+                        "refuses the bundle with a diagnosable error)")
     p.add_argument("--serve_max_cands", type=int, default=10,
                    help="candidate-slot budget per node in serving mode")
 
     args, _ = p.parse_known_args(argv)
+    import sys as _sys
+
+    args._raw_argv = list(argv) if argv is not None else _sys.argv[1:]
     # legacy aliases
     args.resume_optimizer = args.resume_optimizer or args.load_optim
     out_root = os.path.join(args.output_dir,
@@ -288,8 +313,17 @@ def build_dataset(args, cfg):
         store = ImageFeatureStore(args.img_ft_file, feat_dim) \
             if os.path.exists(args.img_ft_file) else HashFeatureStore(feat_dim)
         graphs = [load_connectivity(args.connectivity_dir, s) for s in scans]
+        # precomputed candidate views/angles (parser.py:261); synthesized
+        # from connectivity geometry when the file is absent
+        scanvp_cands = None
+        cands_path = os.path.join(args.anno_dir,
+                                  "scanvp_candview_relangles.json")
+        if os.path.exists(cands_path):
+            from ..env.world import load_scanvp_candidates
+
+            scanvp_cands = load_scanvp_candidates(cands_path)
         world = World(graphs, store.feature_fn(), feat_dim,
-                      feat_dtype=feat_dtype)
+                      feat_dtype=feat_dtype, scanvp_cands=scanvp_cands)
         splits = {k: attach_path_indices(v, world) for k, v in splits.items()}
         aug_features = None
         if args.env_edit or args.use_aug_env:
@@ -455,7 +489,7 @@ def load_intervention_dict_files(args, cfg):
     return out
 
 
-def train(args, cfg, world, splits, aug_features=None):
+def train(args, cfg, world, splits, aug_features=None, mesh=None):
     import signal
 
     from ..agent.navigator import Navigator
@@ -519,6 +553,14 @@ def train(args, cfg, world, splits, aug_features=None):
         trainer.t_params, _, _, _ = load_torch_checkpoint(
             args.teacher_bert_ckpt_file, template=trainer.t_params,
             key_map=pretrain_to_nav_key_map)
+    if mesh is not None:
+        # after every load: use_mesh shards whatever state the checkpoints
+        # left (params TP/replicated, optimizer state alongside, tables
+        # replicated); train_step dp-shards each episode batch
+        trainer.use_mesh(mesh)
+        write_to_record_file(
+            f"mesh: dp={mesh.shape['dp']} x mp={mesh.shape['mp']}, global "
+            f"batch {cfg.train.batch_size}", record)
 
     # SIGTERM (preemption) -> emergency train-state checkpoint, then exit.
     # Params/opt-state attributes are only rebound between steps, so the
@@ -538,6 +580,8 @@ def train(args, cfg, world, splits, aug_features=None):
     write_to_record_file("training loop armed (SIGTERM-safe)", record)
 
     nav = Navigator(cfg, world, params=trainer.params)
+    if mesh is not None:
+        nav.use_mesh(mesh)   # dp-sharded validation decodes
     grad_aw = (cfg.distill.adaptive_ability_weight
                and cfg.distill.adaptive_ability_weight_type == "grad"
                and trainer.kdl)
@@ -678,7 +722,7 @@ def train(args, cfg, world, splits, aug_features=None):
     return trainer
 
 
-def valid(args, cfg, world, splits):
+def valid(args, cfg, world, splits, mesh=None):
     from ..agent.evaluator import Evaluator, submission_format
     from ..agent.navigator import Navigator
     from ..utils.checkpoint import load_torch_checkpoint
@@ -692,6 +736,12 @@ def valid(args, cfg, world, splits):
             args.resume_file, template=nav.params)
         write_to_record_file(f"loaded {args.resume_file} (epoch {epoch})",
                              record)
+    if mesh is not None:
+        # dp-sharded eval batches over the local mesh; multi-HOST sharding
+        # stays the shard_items + gather_predictions path below
+        nav.use_mesh(mesh)
+        write_to_record_file(
+            f"mesh: dp={mesh.shape['dp']} x mp={mesh.shape['mp']}", record)
 
     # intervention dictionaries: prefer the reference's TSV files when their
     # flags point at existing paths (main_nav.py:574-592), else rebuild them
@@ -773,6 +823,8 @@ def valid(args, cfg, world, splits):
         t_nav.params, _, _, _ = load_torch_checkpoint(
             args.teacher_resume_file, template=t_nav.params,
             drop_kd_heads=True)
+        if mesh is not None:
+            t_nav.use_mesh(mesh)
         results.update({f"teacher_{k}": v
                         for k, v in eval_model("teacher ", t_nav).items()})
     return results
@@ -843,7 +895,18 @@ def serve(args, cfg):
 
     if args.serve_bundle:
         # AOT path: programs + params + config come from the bundle; the
-        # flax model is never traced (robot-host startup)
+        # flax model is never traced (robot-host startup).  The bundle pins
+        # the full config + slot budgets — warn on flags it will ignore.
+        overridden = [f for f in (
+            "--resume_file", "--serve_max_nodes", "--serve_max_cands",
+            "--fusion", "--max_gmap_len", "--max_instr_len",
+            "--student_hidden_size") if f in getattr(args, "_raw_argv", [])]
+        if overridden:
+            print(json.dumps({
+                "type": "warning",
+                "message": f"--serve_bundle pins the full config and slot "
+                           f"budgets from meta.json; ignoring "
+                           f"{' '.join(overridden)}"}), flush=True)
         server = NavServer.from_bundle(args.serve_bundle)
         cfg = server.cfg
         print(json.dumps({"type": "loaded", "bundle": args.serve_bundle}),
@@ -864,7 +927,11 @@ def serve(args, cfg):
         server = NavServer(cfg, params, max_nodes=args.serve_max_nodes,
                            max_cands=args.serve_max_cands, model=model)
     if args.export_serve_bundle:
+        plats = (tuple(s.strip() for s in
+                       args.serve_bundle_platforms.split(",") if s.strip())
+                 if args.serve_bundle_platforms else None)
         server.export_bundle(args.export_serve_bundle,
+                             platforms=plats,
                              quantize=args.serve_bundle_int8)
         print(json.dumps({"type": "exported",
                           "bundle": args.export_serve_bundle}), flush=True)
@@ -925,6 +992,35 @@ def serve(args, cfg):
                   flush=True)
 
 
+def build_mesh(args):
+    """Device mesh for --mode train/valid: dp x mp over the local devices
+    (the reference's init_distributed + DDP wrap, main_nav.py:681).  Returns
+    None for a 1x1 mesh (single device — no sharding machinery).  On a CPU
+    backend the dp default is 1: virtual host devices exist for tests, and
+    sharding over them on a 1-core box only adds overhead unless asked."""
+    import jax
+
+    from ..parallel import make_mesh
+
+    mp = max(args.mp, 1)
+    if args.dp is not None:
+        dp = args.dp
+    elif getattr(args, "world_size", 1) > 1:   # reference flag as a dp hint
+        dp = args.world_size
+    elif jax.default_backend() == "cpu":
+        dp = 1
+    else:
+        dp = max(jax.device_count() // mp, 1)
+    if dp * mp <= 1:
+        return None
+    n_dev = jax.device_count()
+    if dp * mp > n_dev:
+        raise SystemExit(
+            f"--dp {dp} x --mp {mp} needs {dp * mp} devices; "
+            f"{n_dev} visible")
+    return make_mesh(dp * mp, mp=mp)
+
+
 def default_max_gmap_len(dataset: str) -> int:
     """RxR trajectories are ~2x longer (28 actions, run_rxr_*.sh) and can
     observe well past 128 nodes; silent truncation there would surface only
@@ -959,11 +1055,23 @@ def main(argv=None):
                     vocab_size=min(cfg.teacher_model.vocab_size, 2000)))
     if args.mode == "serve":
         return serve(args, cfg)
+    mesh = build_mesh(args) if args.mode in ("train", "valid") else None
+    if mesh is not None:
+        # DDP semantics: --batch_size is per chip; scale the global batch by
+        # the dp axis (reference: each rank rolls out batch_size episodes)
+        import dataclasses
+
+        dp = mesh.shape["dp"]
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, batch_size=cfg.train.batch_size * dp))
+        print(f"mesh: dp={dp} x mp={mesh.shape['mp']} "
+              f"(global batch {cfg.train.batch_size})")
     world, splits, aug_features = build_dataset(args, cfg)
     if args.mode == "train":
-        return train(args, cfg, world, splits, aug_features)
+        return train(args, cfg, world, splits, aug_features, mesh=mesh)
     if args.mode == "valid":
-        return valid(args, cfg, world, splits)
+        return valid(args, cfg, world, splits, mesh=mesh)
     if args.mode == "extract_cfp_features":
         return extract_cfp(args, cfg, world, splits)
     raise SystemExit(f"unknown mode {args.mode}")

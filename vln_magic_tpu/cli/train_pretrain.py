@@ -35,6 +35,14 @@ def parse_args(argv=None):
     p.add_argument("--log_steps", type=int, default=50)
     p.add_argument("--train_kdl", action="store_true", default=False)
     p.add_argument("--checkpoint", default=None)
+    # multi-chip mesh (the reference pretrains via torch.distributed.launch
+    # --nproc_per_node, run_r2r_magic.sh:8; --train_batch_size stays
+    # per-chip, global batch = batch x dp)
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel mesh axis; default "
+                        "jax.device_count()/mp on TPU, 1 on CPU")
+    p.add_argument("--mp", type=int, default=1,
+                   help="tensor-parallel mesh axis (Megatron splits)")
     # synthetic fallback knobs
     p.add_argument("--synthetic_scans", type=int, default=2)
     p.add_argument("--synthetic_nodes", type=int, default=24)
@@ -115,6 +123,14 @@ def main(argv=None):
     cfg_flags, cfg_ratios = reference_pretrain_flags(args.config_blob)
     flags = {**model_blob, **cfg_flags}
     flags.setdefault("train_kdl", args.train_kdl)
+    from .main_nav import build_mesh
+
+    mesh = build_mesh(args) if args.mode == "train" else None
+    batch_size = args.train_batch_size
+    if mesh is not None:
+        batch_size *= mesh.shape["dp"]   # per-chip batch x dp, DDP semantics
+        print(f"mesh: dp={mesh.shape['dp']} x mp={mesh.shape['mp']} "
+              f"(global batch {batch_size})")
     cfg = from_reference_flags(flags)
     cfg = dataclasses.replace(
         cfg,
@@ -122,7 +138,7 @@ def main(argv=None):
                                   image_feat_size=args.synthetic_feat_dim,
                                   vocab_size=min(cfg.model.vocab_size, 2000)),
         train=dataclasses.replace(cfg.train,
-                                  batch_size=args.train_batch_size,
+                                  batch_size=batch_size,
                                   lr=args.learning_rate, seed=args.seed))
     if cfg.teacher_model is not None:
         cfg = dataclasses.replace(
@@ -145,6 +161,8 @@ def main(argv=None):
     mgr = CheckpointManager(os.path.join(args.output_dir, "ckpts"))
     if args.checkpoint and mgr.has(args.checkpoint):
         trainer.params = mgr.restore(args.checkpoint, template=trainer.params)
+    if mesh is not None:
+        trainer.use_mesh(mesh)   # after the restore: shards whatever loaded
 
     ratios = cfg_ratios or args.config_blob.get(
         "mix_ratio", {"mlm": 1, "sap": 1, "cfp": 1})

@@ -72,6 +72,32 @@ class WorldTables:
         return self.features.shape[3]
 
 
+def load_scanvp_candidates(path: str) -> dict:
+    """Parse the reference's precomputed candidate-view file
+    ``scanvp_candview_relangles.json`` (reference parser.py:261; consumed at
+    pretrain_src/data/dataset.py:440,458 and agent.py:406-414).
+
+    Schema: ``{"{scan}_{viewpoint}": {cand_viewpoint: [view_idx, angle_dist,
+    rel_heading, rel_elevation]}}`` where ``view_idx`` is the discretized
+    30-degree view (0..35) the candidate is closest to and rel_heading/
+    rel_elevation are offsets from that view's center (dataset.py:463-469:
+    ``heading = view_angle[0] + v[2]``)."""
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
+# view-center angles of the 36 discretized views (12 headings x 3 elevation
+# rows); the center row starts at index 12, so base view 12 has
+# heading 0 / elevation 0 (reference env.py:252-253, dataset.py:441-442)
+def _view_center_angles(view_idx):
+    view_idx = np.asarray(view_idx)
+    heading = (view_idx % 12) * np.float32(np.radians(30))
+    elevation = (view_idx // 12 - 1) * np.float32(np.radians(30))
+    return heading, elevation
+
+
 class World:
     """Host-side container: per-scan :class:`NavGraph` objects, id maps, and
     the padded :class:`WorldTables`.
@@ -80,10 +106,17 @@ class World:
     (HDF5-backed for real data, deterministic-random for tests; the
     reference's ImageFeaturesDB serves the same role,
     map_nav_src/utils/data.py:28-77).
+
+    ``scanvp_cands``: the parsed ``scanvp_candview_relangles.json`` dict
+    (see :func:`load_scanvp_candidates`).  When given, candidate view
+    indices and angles come from the file — the reference's MatterSim-
+    derived geometry — instead of the nearest-view synthesis; nodes absent
+    from the file fall back to synthesis.
     """
 
     def __init__(self, graphs: list[NavGraph], feature_fn, feat_dim: int,
-                 max_candidates: int | None = None, feat_dtype=np.float32):
+                 max_candidates: int | None = None, feat_dtype=np.float32,
+                 scanvp_cands: dict | None = None):
         self.graphs = graphs
         self.scan_index = {g.scan: i for i, g in enumerate(graphs)}
         self.feat_dim = feat_dim
@@ -91,6 +124,8 @@ class World:
         s = len(graphs)
         n = max(g.num_nodes for g in graphs)
         cand_counts = [int(g.adjacency.sum(1).max()) for g in graphs]
+        if scanvp_cands:
+            cand_counts += [len(v) for v in scanvp_cands.values()]
         c = max_candidates or max(cand_counts)
         if max(cand_counts) > c:
             raise ValueError(f"max_candidates={c} < observed degree {max(cand_counts)}")
@@ -126,6 +161,35 @@ class World:
             steps[si, :k, :k] = g.steps
             next_hop[si, :k, :k] = g.next_hop
             for i in range(k):
+                key = f"{g.scan}_{g.node_ids[i]}"
+                entry = (scanvp_cands or {}).get(key)
+                if entry:
+                    # precomputed candidates: view indices + angles from the
+                    # reference's file (view-center angle + rel offset,
+                    # dataset.py:463-469); traversal distance from the graph
+                    # edge when present, Euclidean otherwise (MatterSim
+                    # navigability can differ slightly from connectivity)
+                    ids = [g.index[vp] for vp in entry if vp in g.index]
+                    vals = [entry[vp] for vp in entry if vp in g.index]
+                    if not ids:
+                        continue
+                    views = np.asarray([int(v[0]) for v in vals], np.int32)
+                    ch, ce = _view_center_angles(views)
+                    h = ch + np.asarray([float(v[2]) for v in vals],
+                                        np.float32)
+                    e = ce + np.asarray([float(v[3]) for v in vals],
+                                        np.float32)
+                    ed = g.edge_dist[i, ids]
+                    euclid = np.sqrt(((g.positions[ids] - g.positions[i])
+                                      ** 2).sum(-1)).astype(np.float32)
+                    d = np.where(ed < INF, ed, euclid)
+                    m = len(ids)
+                    cand_ids[si, i, :m] = ids
+                    cand_dist[si, i, :m] = d
+                    cand_view[si, i, :m] = views
+                    cand_heading[si, i, :m] = h
+                    cand_elevation[si, i, :m] = e
+                    continue
                 nbrs = g.neighbors(i)
                 if len(nbrs) == 0:
                     continue

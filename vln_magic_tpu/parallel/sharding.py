@@ -69,3 +69,9 @@ def shard_pytree_batch(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda leaf: jax.device_put(
             leaf, NamedSharding(mesh, batch_spec(leaf))), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate every leaf on the full mesh (world tables, small state)."""
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree)

@@ -187,14 +187,21 @@ class PretrainTrainer:
 
     def use_mesh(self, mesh):
         """Shard pretraining over a device mesh: replicate/TP the params,
-        dp-shard every batch (the DDP-equivalent, SURVEY §2.4)."""
+        dp-shard every batch (the DDP-equivalent, SURVEY §2.4).  The
+        optimizer state is param-shaped, so the same partition rules shard
+        it in place — call AFTER any checkpoint restore."""
         from ..parallel import shard_params
 
+        dp = mesh.shape.get("dp", 1)
+        if self.cfg.train.batch_size % dp != 0:
+            raise ValueError(
+                f"global batch_size {self.cfg.train.batch_size} not "
+                f"divisible by dp={dp}")
         self.mesh = mesh
         self.params = shard_params(self.params, mesh)
         if self.t_params is not None:
             self.t_params = shard_params(self.t_params, mesh)
-        self.opt_state = self.opt.init(self.params)
+        self.opt_state = shard_params(self.opt_state, mesh)
         return self
 
     def train_step(self, task, batch):

@@ -30,14 +30,22 @@ def dequantize_array(q: np.ndarray, scale: np.ndarray) -> np.ndarray:
 
 def quantize_params(params, min_size: int = 1024):
     """Quantize every >=2-D kernel with >= min_size elements.  Returns a
-    tree of {'q': int8, 'scale': f32} dicts in place of quantized leaves."""
+    tree of {'q': int8, 'scale': f32} dicts in place of quantized leaves.
+    The original dtype rides along as a zero-size proxy array (survives
+    msgpack round-trips, unlike a string) so dequantization restores the
+    exact dtype — an AOT-exported program's param avals must match
+    (serving.NavServer.export_bundle lowers against the live dtypes)."""
 
     def visit(leaf):
         arr = np.asarray(leaf)
+        # jnp.issubdtype covers the ml_dtypes extension floats (bfloat16)
+        # that np.issubdtype rejects — a bf16 kernel must quantize too, not
+        # silently ship raw
         if arr.ndim >= 2 and arr.size >= min_size and \
-                np.issubdtype(arr.dtype, np.floating):
+                jnp.issubdtype(arr.dtype, jnp.floating):
             q, scale = quantize_array(arr)
-            return {"__int8__": q, "scale": scale}
+            return {"__int8__": q, "scale": scale,
+                    "dtype": np.zeros((0,), arr.dtype)}
         return arr
 
     return jax.tree_util.tree_map(visit, params)
@@ -49,7 +57,10 @@ def dequantize_params(qparams):
 
     def visit(x):
         if is_qleaf(x):
-            return jnp.asarray(dequantize_array(x["__int8__"], x["scale"]))
+            deq = dequantize_array(x["__int8__"], x["scale"])
+            if "dtype" in x:
+                deq = deq.astype(np.asarray(x["dtype"]).dtype)
+            return jnp.asarray(deq)
         return x
 
     return jax.tree_util.tree_map(visit, qparams, is_leaf=is_qleaf)
@@ -92,7 +103,8 @@ def load_quantized(path: str):
     def rebuild(node):
         if isinstance(node, dict):
             if "__int8__" in node:
-                return {"__int8__": node["__int8__"], "scale": node["scale"]}
+                return {k: node[k] for k in ("__int8__", "scale", "dtype")
+                        if k in node}
             return {k: rebuild(v) for k, v in node.items()}
         return node
 
