@@ -1,0 +1,225 @@
+"""Episode-level parity: the JAX scan rollout vs the reference's own
+decision logic (VERDICT r3 missing #1 / next #1).
+
+tests/episode_oracle.py reimplements the SHIPPED reference agent code
+(map_nav_src/r2r/agent.py:722-1160 — rollout state machine, gmap/vp token
+assembly, teacher actions, stop-score backtrack, MKTD weights, loss totals)
+host-side over the torch oracle model.  Here both rollouts run on the same
+synthetic worlds with the same weights (moved through the repo's flax<->torch
+interop) and must produce IDENTICAL greedy trajectories, stop nodes, and
+action sequences, and matching teacher-forced loss totals — the BASELINE
+action-identical north-star minus only the released checkpoints.
+"""
+
+import dataclasses
+import math
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from vln_magic_tpu.agent.evaluator import build_trajectories_observed
+from vln_magic_tpu.agent.rollout import Rollout, Tables
+from vln_magic_tpu.agent.navigator import episodes_from_items
+from vln_magic_tpu.agent.distill import total_kd_loss
+from vln_magic_tpu.config import DistillConfig, EnvConfig, ModelConfig
+from vln_magic_tpu.env import make_synthetic_world
+from vln_magic_tpu.env.synthetic import make_synthetic_instructions
+from vln_magic_tpu.models import DualScaleVLNBert
+from vln_magic_tpu.utils.checkpoint import flatten_params
+
+from episode_oracle import ReferenceRollout
+from torch_oracle import TorchDualScaleVLNBert, load_flax_flat_into_torch
+
+INSTR_LEN = 16
+T_MAX = 6
+BATCH = 4
+
+
+def mk_cfg(fusion, hidden=48, heads=4, kd=False, tgt=64):
+    return ModelConfig(
+        vocab_size=300, hidden_size=hidden, num_attention_heads=heads,
+        num_l_layers=2, num_pano_layers=1, num_x_layers=2,
+        image_feat_size=24, max_position_embeddings=48,
+        fusion=fusion, glocal_fuse=(fusion == "dynamic"),
+        kd_heads=kd, kd_target_size=tgt)
+
+
+def mk_env():
+    return EnvConfig(max_action_len=T_MAX, max_gmap_len=16,
+                     max_instr_len=INSTR_LEN, expert_policy="spl",
+                     observed_graph_parity=True)
+
+
+def mk_world_items(seed):
+    world = make_synthetic_world(num_scans=1, nodes_per_scan=14, feat_dim=24,
+                                 seed=seed)
+    rng = np.random.default_rng(seed + 100)
+    items = make_synthetic_instructions(world, BATCH, rng, vocab_size=300,
+                                        min_path=3, max_path=5)
+    for i, it in enumerate(items):
+        # fixed-length encodings (no padding ambiguity between frameworks)
+        it["instr_encoding"] = rng.integers(4, 300, INSTR_LEN) \
+            .astype(np.int32)
+        # MatterSim discretizes orientation to 30-degree views; start
+        # headings on the grid so both conventions coincide at t=0
+        it["heading"] = float((i % 12) * math.radians(30))
+    return world, items
+
+
+def flax_and_torch(cfg, seed=0):
+    model = DualScaleVLNBert(cfg)
+    from vln_magic_tpu.models.vlnbert import dummy_step_batch
+
+    batch = dummy_step_batch(cfg, batch_size=1, txt_len=8, pano_len=10,
+                             gmap_len=8)
+    params = model.init(jax.random.PRNGKey(seed), batch)
+    tmodel = TorchDualScaleVLNBert(cfg)
+    unmatched = load_flax_flat_into_torch(tmodel, flatten_params(params))
+    assert not unmatched, unmatched
+    return model, params, tmodel.eval()
+
+
+def jax_greedy(cfg, env, world, items):
+    model = DualScaleVLNBert(cfg)
+    tables = Tables.from_world(world.tables)
+    rollout = Rollout(tables, env, model)
+    return rollout, tables
+
+
+@pytest.mark.parametrize("fusion", ["dynamic", "avg"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_greedy_decode_matches_reference_logic(fusion, seed):
+    """Greedy argmax decode: identical per-step chosen nodes, stop nodes,
+    and full (expanded) trajectories across 3 worlds x both fusion modes."""
+    cfg = mk_cfg(fusion)
+    env = mk_env()
+    world, items = mk_world_items(seed)
+    model, params, tmodel = flax_and_torch(cfg, seed=seed)
+    g = world.graphs[0]
+
+    # --- reference-logic oracle (torch, host-side python) ---
+    oracle = ReferenceRollout(cfg, world, tmodel,
+                              max_action_len=env.max_action_len,
+                              expert_policy=env.expert_policy)
+    ref = oracle.rollout(items, feedback="argmax")
+
+    # --- JAX scan rollout (observed-subgraph parity mode) ---
+    tables = Tables.from_world(world.tables)
+    rollout = Rollout(tables, env, model)
+    txt_ids = jnp.asarray(np.stack([it["instr_encoding"] for it in items]))
+    txt_masks = jnp.ones_like(txt_ids, dtype=bool)
+    state0 = episodes_from_items(tables, world, items, rollout.model_dims,
+                                 observed_parity=True)
+    state, aux = jax.jit(
+        lambda p, s: rollout.run(p, s, txt_ids, txt_masks, "argmax",
+                                 deterministic=True))(params, state0)
+
+    # per-step chosen nodes (pad the oracle's early-break tail with -1)
+    jax_actions = np.asarray(aux["actions"])          # [T, B]
+    ref_actions = np.full_like(jax_actions, -1)
+    ref_actions[: ref["actions"].shape[0]] = ref["actions"]
+    np.testing.assert_array_equal(jax_actions, ref_actions)
+
+    # stop nodes
+    jax_stop = [g.node_ids[i] for i in np.asarray(aux["stop_node"])]
+    assert jax_stop == ref["stop_nodes"]
+
+    # full expanded trajectories (incl. stop-score backtrack segments)
+    preds = build_trajectories_observed(
+        world, items, aux["actions"], aux["traj_nodes"], aux["traj_len"],
+        aux["stop_node"], aux["final_cur"])
+    for p, ref_traj in zip(preds, ref["trajectories"]):
+        assert p["trajectory"] == ref_traj
+
+
+def test_teacher_forced_losses_match_reference_logic():
+    """Teacher-forced MAKD pass: student/teacher CE sums and the
+    action-ability logit KD (with MKTD sample weights) match the reference
+    loss assembly.  feat/attn ability totals are padding-layout dependent
+    even upstream (the reference sums over batch-max-padded tensors) and are
+    pinned at tensor level by test_torch_oracle instead."""
+    cfg = mk_cfg("dynamic", kd=True, tgt=64)
+    t_cfg = mk_cfg("dynamic", hidden=64, heads=4, kd=True, tgt=48)
+    env = mk_env()
+    world, items = mk_world_items(3)
+    model, params, tmodel = flax_and_torch(cfg, seed=7)
+    t_model, t_params, t_tmodel = flax_and_torch(t_cfg, seed=8)
+
+    dcfg = DistillConfig(
+        train_kdl=True, ability_types=("action",), no_feat=True,
+        no_attn=True, logit_loss="kd", loss_type="sum", temperature=1.0,
+        teacher_sample_hard_mining=True, sample_preprocess="exp",
+        sample_exp_decay=0.7)
+
+    oracle = ReferenceRollout(cfg, world, tmodel, teacher_model=t_tmodel,
+                              distill=dcfg,
+                              max_action_len=env.max_action_len,
+                              expert_policy=env.expert_policy)
+    ref = oracle.rollout(items, feedback="teacher", train_ml=1.0)
+
+    tables = Tables.from_world(world.tables)
+    rollout = Rollout(tables, env, model, t_model)
+    txt_ids = jnp.asarray(np.stack([it["instr_encoding"] for it in items]))
+    txt_masks = jnp.ones_like(txt_ids, dtype=bool)
+    state0 = episodes_from_items(tables, world, items, rollout.model_dims,
+                                 observed_parity=True)
+    state, aux = jax.jit(
+        lambda p, tp, s: rollout.run(
+            p, s, txt_ids, txt_masks, "teacher", train_ml=1.0,
+            deterministic=True, teacher_params=tp, distill=dcfg))(
+        params, t_params, state0)
+
+    assert float(aux["ml_loss"]) == pytest.approx(ref["ml_loss_sum"],
+                                                  rel=2e-4, abs=1e-5)
+    assert float(aux["t_ml_loss"]) == pytest.approx(ref["t_ml_loss_sum"],
+                                                    rel=2e-4, abs=1e-5)
+    kd_total = float(total_kd_loss(aux["kd_losses"]))
+    assert kd_total == pytest.approx(ref["predict_loss"], rel=5e-4, abs=1e-5)
+
+    # the reference total (agent.py:1112-1119): alpha*kd/bs + (1-alpha)*ml/bs
+    alpha, bs = 0.5, len(items)
+    ref_total = alpha * ref["predict_loss"] / bs \
+        + (1 - alpha) * ref["ml_loss_sum"] * 1.0 / bs
+    jax_total = alpha * kd_total / bs + (1 - alpha) * float(aux["ml_loss"]) / bs
+    assert jax_total == pytest.approx(ref_total, rel=5e-4)
+
+
+def test_teacher_forced_trajectories_match():
+    """Teacher forcing must walk the gt path exactly on both sides (and the
+    expert targets must agree when DAgger sampling is greedy — covered by
+    the argmax decode above; here the gt-follow invariant)."""
+    cfg = mk_cfg("dynamic")
+    env = mk_env()
+    world, items = mk_world_items(4)
+    model, params, tmodel = flax_and_torch(cfg, seed=9)
+    g = world.graphs[0]
+
+    oracle = ReferenceRollout(cfg, world, tmodel,
+                              max_action_len=env.max_action_len,
+                              expert_policy=env.expert_policy)
+    ref = oracle.rollout(items, feedback="teacher", train_ml=1.0)
+
+    tables = Tables.from_world(world.tables)
+    rollout = Rollout(tables, env, model)
+    txt_ids = jnp.asarray(np.stack([it["instr_encoding"] for it in items]))
+    txt_masks = jnp.ones_like(txt_ids, dtype=bool)
+    state0 = episodes_from_items(tables, world, items, rollout.model_dims,
+                                 observed_parity=True)
+    state, aux = jax.jit(
+        lambda p, s: rollout.run(p, s, txt_ids, txt_masks, "teacher",
+                                 train_ml=1.0, deterministic=True))(
+        params, state0)
+    jax_actions = np.asarray(aux["actions"])
+    ref_actions = np.full_like(jax_actions, -1)
+    ref_actions[: ref["actions"].shape[0]] = ref["actions"]
+    np.testing.assert_array_equal(jax_actions, ref_actions)
+    # both followed the gt path
+    for b, it in enumerate(items):
+        taken = [a for a in jax_actions[:, b] if a >= 0]
+        assert taken == list(it["path_idx"][1:])
+    assert float(aux["ml_loss"]) == pytest.approx(ref["ml_loss_sum"],
+                                                  rel=2e-4, abs=1e-5)

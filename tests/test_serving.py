@@ -381,3 +381,92 @@ def test_quantize_preserves_dtype():
     restored = serialization.msgpack_restore(blob)
     deq2 = dequantize_params(restored)
     assert deq2["bf16"].dtype == ml_dtypes.bfloat16
+
+
+def test_fleet_matches_standalone_sessions(setup):
+    """Batched fleet serving: K concurrent sessions advanced in ONE dispatch
+    per tick must produce decisions, stops, and final trajectories identical
+    to K standalone NavServer sessions — including sessions joining at
+    DIFFERENT ticks (per-lane is_first / t_step)."""
+    from vln_magic_tpu.agent.serving import NavFleet
+
+    world, cfg, nav, items, server = setup
+    g = world.graphs[0]
+
+    # standalone references
+    ref = []
+    for item in items:
+        sess, actions, _ = serve_episode(world, cfg, server, item)
+        ref.append((actions, sess.finish()))
+
+    fleet = NavFleet(cfg, nav.params, slots=4,
+                     max_nodes=world.graphs[0].num_nodes,
+                     max_cands=world.tables.cand_ids.shape[2],
+                     model=nav.model)
+    sessions = {}
+    cur = {}
+    actions = {i: [] for i in range(len(items))}
+    finals = {}
+    # stagger joins: episode i joins at tick i
+    for tick in range(cfg.env.max_action_len + len(items)):
+        if tick < len(items):
+            sessions[tick] = fleet.join(items[tick]["instr_encoding"])
+            cur[tick] = int(items[tick]["path_idx"][0])
+        obs = {}
+        owners = {}
+        for i, sess in sessions.items():
+            if sess._ended:
+                continue
+            obs[sess.slot] = replay_observation(
+                world, items[i]["scan_idx"], cur[i],
+                float(items[i]["heading"]))
+            owners[sess.slot] = i
+        if not obs:
+            break
+        decisions = fleet.step(obs)
+        for slot, dec in decisions.items():
+            i = owners[slot]
+            if dec.target is None:
+                actions[i].append(-1)
+            else:
+                cur[i] = g.index[dec.target]
+                actions[i].append(cur[i])
+            if dec.stop and i not in finals:
+                finals[i] = fleet.finish(sessions[i].slot)
+                fleet.release(sessions[i].slot)
+
+    for i, (ref_actions, ref_final) in enumerate(ref):
+        assert actions[i] == ref_actions, f"episode {i}"
+        assert finals[i] == ref_final, f"episode {i}"
+
+
+def test_fleet_slot_reuse(setup):
+    """A released slot hosts a fresh episode with correct decisions (stale
+    lane state must not leak across sessions)."""
+    from vln_magic_tpu.agent.serving import NavFleet
+
+    world, cfg, nav, items, server = setup
+    g = world.graphs[0]
+    fleet = NavFleet(cfg, nav.params, slots=1,
+                     max_nodes=world.graphs[0].num_nodes,
+                     max_cands=world.tables.cand_ids.shape[2],
+                     model=nav.model)
+    for item in items[:2]:
+        ref_sess, ref_actions, _ = serve_episode(world, cfg, server, item)
+        ref_final = ref_sess.finish()
+        sess = fleet.join(item["instr_encoding"])
+        cur = int(item["path_idx"][0])
+        got = []
+        for _ in range(cfg.env.max_action_len):
+            dec = sess.step(replay_observation(world, item["scan_idx"], cur,
+                                               float(item["heading"])))
+            if dec.target is None:
+                got.append(-1)
+            else:
+                cur = g.index[dec.target]
+                got.append(cur)
+            if dec.stop:
+                break
+        assert got == ref_actions
+        assert sess.finish() == ref_final
+        fleet.release(sess.slot)

@@ -15,10 +15,15 @@ Roles:
           stop-gradiented) student; loss_type forced to 'mean'
           (agent.py:553-558).
 
-Ability weight order is (txt, img, local, global, action); the reference's
-fusion loop indexes global before local but draws the weights i.i.d., so the
-order is exchangeable — we keep the documented order of kd_ability_types
-(parser.py:151).
+Ability weight VECTOR order is (txt, img, local, global, action) — the
+reference's key_order (agent.py:856) and kd_ability_types (parser.py:151).
+CONSUMPTION reproduces the reference exactly, including its index quirk:
+``softmax_weights[2]`` multiplies the GLOBAL losses and ``[3]`` the LOCAL
+ones (agent.py:687-692) even though the grad vector was built in
+local-before-global order — i.i.d. RW draws make this exchangeable, but
+'grad' mode feels it, so we mirror it.  Likewise the img /2 halving applies
+only in learned-weight / no-adaptive modes (agent.py:620-627: the RW/grad
+branch multiplies the raw loss).
 """
 
 from __future__ import annotations
@@ -64,12 +69,20 @@ def makd_step_losses(cfg: DistillConfig, t_step, s_outs, t_outs, project,
     temp = cfg.temperature
     out = zero_kd_losses()
 
-    def w(i):
+    def w(learned_i, rw_i=None):
+        """``learned_i`` indexes the per-name softplus stack (txt, img,
+        local, global, predict); ``rw_i`` the RW/grad softmax vector with
+        the reference's global<->local index quirk (module docstring)."""
         if learned_weights is not None:
-            return learned_weights[i]
+            return learned_weights[learned_i]
         if ability_weights is not None:
-            return ability_weights[i]
+            return ability_weights[rw_i if rw_i is not None else learned_i]
         return 1.0
+
+    # img /2: reference halves only in learned/no-adaptive modes
+    # (agent.py:620-627); the RW/grad branch multiplies the raw loss
+    img_div = 1.0 if (learned_weights is None
+                      and ability_weights is not None) else 2.0
 
     def pair(name, s_x, t_x):
         """(student-side tensor, target tensor) for feature losses."""
@@ -105,38 +118,41 @@ def makd_step_losses(cfg: DistillConfig, t_step, s_outs, t_outs, project,
                             t_outs["pano_embeds"])
             out["img_emb_loss"] = w(1) * feat(
                 s_e, t_e, temperature=temp, t_sample_weights=sample_weights,
-                loss_type=loss_type) / 2
+                loss_type=loss_type) / img_div
             s_f, t_f = pair("kdl_avg_img_w", s_outs["pano_fused_embeds"],
                             t_outs["pano_fused_embeds"])
             out["avg_img_emb_loss"] = w(1) * feat(
                 s_f, t_f, temperature=temp, t_sample_weights=sample_weights,
-                loss_type=loss_type) / 2
+                loss_type=loss_type) / img_div
         if not cfg.no_attn:
             s_a, t_a = attn_pair(s_outs["img_attns"], t_outs["img_attns"])
             out["img_attn_loss"] = w(1) * attn(
                 s_a, t_a, temperature=temp, t_sample_weights=sample_weights,
                 loss_type=loss_type)
 
-    # 3. local / global cross-modal embeddings + attention maps
+    # 3. local / global cross-modal embeddings + attention maps.
+    # RW/grad index quirk mirrored from the reference (agent.py:687-692):
+    # weights[2] multiplies GLOBAL, weights[3] LOCAL; learned-weight mode
+    # stays per-name (kdl_local_weight = stack index 2).
     if "local" in cfg.ability_types:
         if not cfg.no_feat:
             s_e, t_e = pair("local_cross_w", s_outs["vp_embeds"],
                             t_outs["vp_embeds"])
-            out["local_emb_loss"] = w(2) * feat(
+            out["local_emb_loss"] = w(2, 3) * feat(
                 s_e, t_e, t_sample_weights=sample_weights, loss_type=loss_type)
         if not cfg.no_attn:
             s_a, t_a = attn_pair(s_outs["vp_attns"], t_outs["vp_attns"])
-            out["local_attn_loss"] = w(2) * attn(
+            out["local_attn_loss"] = w(2, 3) * attn(
                 s_a, t_a, t_sample_weights=sample_weights, loss_type=loss_type)
     if "global" in cfg.ability_types:
         if not cfg.no_feat:
             s_e, t_e = pair("global_cross_w", s_outs["gmap_embeds"],
                             t_outs["gmap_embeds"])
-            out["global_emb_loss"] = w(3) * feat(
+            out["global_emb_loss"] = w(3, 2) * feat(
                 s_e, t_e, t_sample_weights=sample_weights, loss_type=loss_type)
         if not cfg.no_attn:
             s_a, t_a = attn_pair(s_outs["gmap_attns"], t_outs["gmap_attns"])
-            out["global_attn_loss"] = w(3) * attn(
+            out["global_attn_loss"] = w(3, 2) * attn(
                 s_a, t_a, t_sample_weights=sample_weights, loss_type=loss_type)
 
     # 4. action — logit KD / DKD on the fused navigation scores

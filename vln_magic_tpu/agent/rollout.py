@@ -16,11 +16,14 @@ Token layouts match the reference exactly so checkpoints/targets transfer:
   vp tokens:   [stop], [mem], candidates..., remaining views...
                (agent.py:290-328).
 
-Known deviation (documented for the parity pass): pairwise gmap distances and
-backtrack paths use the *full* connectivity graph, where the reference uses
-the incrementally observed subgraph (models/graph_utils.py, omitted upstream).
-The two differ only when the true shortest route between two observed nodes
-crosses unobserved territory.
+Graph-information modes: the DEFAULT mode uses the *full* connectivity
+graph for pairwise gmap distances and backtrack paths (differs from the
+reference only when the true shortest route between two observed nodes
+crosses unobserved territory); ``env.observed_graph_parity`` switches to the
+reference GraphMap's incremental FloydGraph model exactly — visited-pivot
+all-pairs distances and visited-intermediate path walks — pinned
+episode-for-episode against a host-side reimplementation of the reference
+agent over the torch oracle (tests/test_episode_oracle.py).
 """
 
 from __future__ import annotations
@@ -141,12 +144,21 @@ def _iota_like(anchor, n: int) -> jnp.ndarray:
 def relax_observed(state: EpisodeBatch, tables: Tables, v, live):
     """Incremental observed-subgraph all-pairs update (GraphMap parity).
 
-    When node ``v`` becomes the current viewpoint, its edges to its
-    candidates enter the observed graph (GraphMap.update_graph semantics:
-    edges exist iff an endpoint has been visited).  All new edges are
-    incident to ``v``, so a single pivot relaxation through ``v`` keeps the
-    all-pairs matrices exact: d(i,j) = min(d(i,j), d(i,v) + d(v,j)) with
-    d(v,.) first refreshed over the new edges."""
+    Mirrors the reference GraphMap's FloydGraph EXACTLY (SURVEY §2.6: edges
+    enter via add_edge when a node's candidates are seen; ``update(k)``
+    pivots through k on arrival — only VISITED nodes ever pivot).  The
+    distance model is therefore "shortest path whose intermediate nodes are
+    all visited": a route through a frontier node does NOT exist, even when
+    both of its edges have been observed (round-4 episode oracle caught the
+    earlier refresh-through-candidates formulation finding such routes —
+    shorter, but not what the reference computes).
+
+    On arrival at ``v``: (1) add_edge — d(v, c) improves to the direct edge
+    weight for each candidate c (strict <, FloydGraph.add_edge semantics);
+    (2) pivot — d(i, j) = min(d(i, j), d(i, v) + d(v, j)).  d(v, .) is
+    exact at pivot time within the model: a path from v can only leave
+    through an edge whose far end is visited (frontier candidates cannot be
+    intermediates), and those were relaxed when that endpoint pivoted."""
     t = tables
     b = state.batch_size
     n = t.node_mask.shape[1]
@@ -157,31 +169,22 @@ def relax_observed(state: EpisodeBatch, tables: Tables, v, live):
     w = t.dist[state.scan[:, None], v[:, None], jnp.maximum(cand, 0)]
     onehot_c = jax.nn.one_hot(jnp.where(cmask, cand, -1), n,
                               dtype=jnp.float32)            # [B, C, N]
-    rows_c_d = jnp.einsum("bcn,bnm->bcm", onehot_c, D,
-                          preferred_element_type=jnp.float32)
-    rows_c_s = jnp.einsum("bcn,bnm->bcm", onehot_c, S,
-                          preferred_element_type=jnp.float32)
     big = jnp.float32(INF_DIST)
-    via_d = jnp.where(cmask[..., None], w[..., None] + rows_c_d, big)
-    via_s = jnp.where(cmask[..., None], 1.0 + rows_c_s, big)
 
     onehot_v = jax.nn.one_hot(v, n, dtype=jnp.float32)      # [B, N]
     row_v_d = jnp.einsum("bn,bnm->bm", onehot_v, D,
                          preferred_element_type=jnp.float32)
     row_v_s = jnp.einsum("bn,bnm->bm", onehot_v, S,
                          preferred_element_type=jnp.float32)
-    # min over candidates + the matching hop count WITHOUT a gather: an
-    # argmin + take_along_axis here has per-lane-varying indices (the index
-    # depends on the minor axis) and scalarizes — measured 11.7 ms/step,
-    # ~46% of parity device time.  A first-minimum mask + masked reduce is
-    # pure VPU work with identical tie-breaking (first minimal c).
-    min_via_d = jnp.min(via_d, axis=1)                      # [B, N]
-    is_min = via_d == min_via_d[:, None, :]
-    first_min = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1)
-    min_via_s = jnp.sum(jnp.where(first_min, via_s, 0.0), axis=1)
-    use_via = min_via_d < row_v_d
-    row_d = jnp.where(use_via, min_via_d, row_v_d)
-    row_s = jnp.where(use_via, min_via_s, row_v_s)
+    # add_edge: direct weights scattered onto v's row (min over candidate
+    # slots resolves duplicate candidates; strict < keeps FloydGraph's
+    # keep-old-on-tie behavior)
+    direct_d = jnp.min(
+        jnp.where((onehot_c > 0.5) & cmask[..., None], w[..., None], big),
+        axis=1)                                             # [B, N]
+    use_direct = direct_d < row_v_d
+    row_d = jnp.where(use_direct, direct_d, row_v_d)
+    row_s = jnp.where(use_direct, 1.0, row_v_s)
     row_d = row_d * (1.0 - onehot_v)                        # d(v, v) = 0
     row_s = row_s * (1.0 - onehot_v)
 
@@ -899,7 +902,7 @@ class Rollout:
         def walk(_, carry):
             p, prev, nodes, ln = carry
             if parity:
-                nxt, ok = self._observed_next(state, wt, p, dcol)
+                nxt, ok = self._observed_next(state, wt, p, dcol, target)
                 nxt = jnp.where(ok, nxt, -1)
             else:
                 nxt = jnp.einsum(
@@ -1292,6 +1295,16 @@ class Rollout:
                         return mkrw_weights(key, 5, distill.rw_temp)
                     return ab_w_static
 
+                # the reference breaks its step loop once every episode has
+                # ended (agent.py:1109-1110), so all-ended trailing steps
+                # contribute NO KD (CE is already 0 via ignore_id); the scan
+                # has no break — gate each step's KD by "any episode live",
+                # per half in fused mode (each half is its own reference
+                # rollout with its own break)
+                gate_of = lambda live_slice: live_slice.any().astype(
+                    jnp.float32)
+                gated = lambda tree, gt: jax.tree_util.tree_map(
+                    lambda x: x * gt, tree)
                 if fused:
                     # strictly per-half losses: MKTD normalization, MKRW
                     # draws, and every reduction stay inside their half —
@@ -1307,30 +1320,36 @@ class Rollout:
                         t_sw, s_sw = half_weights(t_ce[sl], step_ce[sl])
                         ab_w = ab_for(k_rw_h)
                         o_h, t_o_h = take(outs, sl), take(t_outs, sl)
+                        gt = gate_of(live0[sl])
                         kd_acc[name] = D.add_losses(
-                            kd_acc[name], D.makd_step_losses(
+                            kd_acc[name], gated(D.makd_step_losses(
                                 distill, t_step, o_h, t_o_h, s_project,
                                 nav_targets[sl], ab_w, t_sw, s_learned,
-                                role="t2s", ignore_id=self.env.ignore_id))
+                                role="t2s", ignore_id=self.env.ignore_id),
+                                gt))
                         if icod:
                             t_kd_acc[name] = D.add_losses(
-                                t_kd_acc[name], D.makd_step_losses(
+                                t_kd_acc[name], gated(D.makd_step_losses(
                                     distill, t_step, t_o_h, o_h, s_project,
                                     nav_targets[sl], ab_w, s_sw, t_learned,
-                                    role="s2t", ignore_id=self.env.ignore_id))
+                                    role="s2t", ignore_id=self.env.ignore_id),
+                                    gt))
                 else:
                     t_ml_loss = t_ml_loss + t_ce.sum()
                     t_sw, s_sw = half_weights(t_ce, step_ce)
                     ab_w = ab_for(k_rw)
-                    kd_acc = D.add_losses(kd_acc, D.makd_step_losses(
+                    gt = gate_of(live0)
+                    kd_acc = D.add_losses(kd_acc, gated(D.makd_step_losses(
                         distill, t_step, outs, t_outs, s_project, nav_targets,
                         ab_w, t_sw, s_learned, role="t2s",
-                        ignore_id=self.env.ignore_id))
+                        ignore_id=self.env.ignore_id), gt))
                     if icod:
-                        t_kd_acc = D.add_losses(t_kd_acc, D.makd_step_losses(
-                            distill, t_step, t_outs, outs, s_project,
-                            nav_targets, ab_w, s_sw, t_learned, role="s2t",
-                            ignore_id=self.env.ignore_id))
+                        t_kd_acc = D.add_losses(
+                            t_kd_acc, gated(D.makd_step_losses(
+                                distill, t_step, t_outs, outs, s_project,
+                                nav_targets, ab_w, s_sw, t_learned,
+                                role="s2t", ignore_id=self.env.ignore_id),
+                                gt))
 
             policy_logits = t_logits if (kdl and use_teacher_policy) else logits
             a = self.select_action(
@@ -1470,9 +1489,15 @@ class Rollout:
         return {"cand": cand_all, "w": w_all, "cmask": cmask_all, "n": n}
 
     @staticmethod
-    def _observed_next(state, wt, p, dcol):
-        """Greedy next node on the observed shortest path toward the target
-        whose obs-distance column is ``dcol``; returns (next_node, valid)."""
+    def _observed_next(state, wt, p, dcol, target):
+        """Greedy next node on the observed shortest path toward ``target``
+        (obs-distance column ``dcol``); returns (next_node, valid).
+
+        Steps only onto VISITED nodes or the target itself: obs_dist is the
+        FloydGraph visited-intermediate model (relax_observed docstring), so
+        a frontier hop mid-path would follow a route that model never
+        measured.  The walk starts at a visited node (cur), so every edge it
+        reads comes from a fully-reported candidate row."""
         n = wt["n"]
         onehot_p = jax.nn.one_hot(p, n, dtype=jnp.float32)
         row = lambda x: jnp.einsum("bn,bnc->bc", onehot_p, x,
@@ -1488,16 +1513,11 @@ class Rollout:
         visited_f = state.visited[:, :n].astype(jnp.float32)
         vis_cand = jnp.einsum("bcn,bn->bc", dhot, visited_f,
                               preferred_element_type=jnp.float32)
-        p_vis = jnp.einsum("bn,bn->b", onehot_p, visited_f,
-                           preferred_element_type=jnp.float32)
-        # an observed edge needs a real candidate slot and at least one
-        # visited endpoint (the agent only ever sees edges at nodes it
-        # stood on; candidates of visited nodes are the frontier)
-        on_obs = (row(wt["cmask"]) > 0.5) & (
-            (vis_cand > 0.5) | (p_vis > 0.5)[:, None])
+        stepable = (row(wt["cmask"]) > 0.5) & (
+            (vis_cand > 0.5) | (cand_row == target[:, None]))
         d_cand = jnp.einsum("bcn,bn->bc", dhot, dcol,
                             preferred_element_type=jnp.float32)
-        cost = jnp.where(on_obs, w_row + d_cand, jnp.float32(INF_DIST))
+        cost = jnp.where(stepable, w_row + d_cand, jnp.float32(INF_DIST))
         j = jnp.argmin(cost, axis=1)
         nxt = jnp.take_along_axis(cand_row, j[:, None], 1)[:, 0]
         ok = jnp.take_along_axis(cost, j[:, None], 1)[:, 0] < INF_DIST / 2
@@ -1522,7 +1542,7 @@ class Rollout:
 
         def walk(_, carry):
             p, nodes, ln = carry
-            nxt, ok = self._observed_next(state, wt, p, dcol)
+            nxt, ok = self._observed_next(state, wt, p, dcol, stop_node)
             stepping = moving & (p != stop_node) & ok
             wi = jnp.where(stepping, jnp.minimum(ln, MAX_TRAJ),
                            jnp.full_like(ln, MAX_TRAJ))
