@@ -143,6 +143,7 @@ def build_cfg(args, smoke):
             hoist_text_kv=not args.no_kv_hoist,
             gelu_approximate=args.gelu_tanh,
             softmax_compute_dtype_attn=args.softmax_bf16,
+            attn_logits_f32=args.attn_f32,
         ),
         teacher_model=ModelConfig(
             hidden_size=t_hidden, num_attention_heads=t_heads,
@@ -153,6 +154,7 @@ def build_cfg(args, smoke):
             hoist_text_kv=not args.no_kv_hoist,
             gelu_approximate=args.gelu_tanh,
             softmax_compute_dtype_attn=args.softmax_bf16,
+            attn_logits_f32=args.attn_f32,
         ) if (args.train or args.pretrain) else None,
         env=EnvConfig(max_action_len=t_steps, max_gmap_len=max_gmap,
                       max_instr_len=txt_len,
@@ -165,7 +167,9 @@ def build_cfg(args, smoke):
                           train_alg="dagger", ml_weight=0.2, lr=4e-5,
                           remat=args.remat or (args.train and not args.smoke),
                           remat_policy=args.remat_policy,
-                          fuse_rollouts=args.fuse_rollouts),
+                          fuse_rollouts=args.fuse_rollouts,
+                          grads_dtype=("bfloat16" if args.bf16_grads
+                                       else "float32")),
         distill=DistillConfig(
             train_kdl=args.train or args.pretrain, train_teacher=args.train,
             teacher_sample_hard_mining=args.train,
@@ -196,6 +200,10 @@ def main():
                          "map build from observations, agent/serving.py) — "
                          "the robot-deployment path, including the per-step "
                          "observation ingest H2D")
+    ap.add_argument("--fleet", type=int, default=0,
+                    help="with --serve: K concurrent sessions advanced in "
+                         "ONE dispatch per tick (NavFleet); reports "
+                         "per-DECISION latency = tick wall / K")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--repeats", type=int, default=None,
@@ -236,6 +244,18 @@ def main():
                     help="A/B: attention softmax in the compute dtype "
                          "instead of f32 (the f32 convert+reduce pairs "
                          "measured 16%% of eval device time)")
+    ap.add_argument("--attn_f32", action="store_true", default=False,
+                    help="A/B: attention logits from the MXU f32 accumulator "
+                         "(preferred_element_type) instead of bf16-rounded "
+                         "scores converted before the f32 softmax — fewer "
+                         "converts, numerically closer to the torch-f32 "
+                         "reference; shifts bf16 trajectories, so check the "
+                         "semantic fraction")
+    ap.add_argument("--bf16_grads", action="store_true", default=False,
+                    help="A/B (--train): bf16 weight-grad accumulation "
+                         "across the scan backward with f32 master params "
+                         "(the round-3 decomposition's dominant non-matmul "
+                         "bucket)")
     ap.add_argument("--no_kv_hoist", action="store_true", default=False,
                     help="A/B: disable the loop-invariant instruction K/V "
                          "hoist (cross-attention K/V over the instruction "
@@ -428,7 +448,7 @@ def main():
         return
 
     if args.serve:
-        from vln_magic_tpu.agent.serving import (NavServer,
+        from vln_magic_tpu.agent.serving import (NavFleet, NavServer,
                                                  observation_from_world)
 
         # one deployment site: a single 64-node scan (a Matterport house is
@@ -439,6 +459,57 @@ def main():
                                            nodes_per_scan=serve_nodes,
                                            feat_dim=feat, seed=0)
         nav = Navigator(cfg, serve_world)
+        if args.fleet:
+            # fleet mode: K concurrent robot sessions, one fused dispatch
+            # per control tick — per-decision cost = tick wall / K
+            k = args.fleet
+            fleet = NavFleet(cfg, nav.params, slots=k,
+                             max_nodes=serve_nodes,
+                             max_cands=serve_world.tables.cand_ids.shape[2],
+                             model=nav.model)
+            f_items = make_synthetic_instructions(
+                serve_world, k, rng, min_path=4, max_path=7)
+            for it in f_items:
+                it["instr_encoding"] = rng.integers(4, 1000, txt_len) \
+                    .astype(np.int32)
+            g = serve_world.graphs[0]
+            tick_ms, n_dec = [], 0
+            for round_i in range(3):   # 3 waves of K episodes
+                sessions = [fleet.join(it["instr_encoding"])
+                            for it in f_items]
+                cur = [int(it["path_idx"][0]) for it in f_items]
+                for t in range(cfg.env.max_action_len):
+                    obs = {s.slot: observation_from_world(
+                        serve_world, 0, cur[i], float(f_items[i]["heading"]))
+                        for i, s in enumerate(sessions) if not s._ended}
+                    if not obs:
+                        break
+                    t0 = time.perf_counter()
+                    decs = fleet.step(obs)
+                    if round_i > 0:   # wave 0 pays the compiles
+                        tick_ms.append(
+                            (time.perf_counter() - t0) * 1000.0)
+                        n_dec += len(decs)
+                    for i, s in enumerate(sessions):
+                        d = decs.get(s.slot)
+                        if d and d.target is not None:
+                            cur[i] = g.index[d.target]
+                for s in sessions:
+                    fleet.release(s.slot)
+            per_dec = float(np.sum(tick_ms)) / max(n_dec, 1)
+            print(f"fleet {k}: {len(tick_ms)} ticks, {n_dec} decisions; "
+                  f"tick p50 {np.percentile(tick_ms, 50):.2f} ms, "
+                  f"p95 {np.percentile(tick_ms, 95):.2f} ms",
+                  file=sys.stderr)
+            print(json.dumps({
+                "metric": "fleet_decision_latency_ms",
+                "value": round(per_dec, 2),
+                "unit": "ms/decision",
+                "vs_baseline": round(33.3 / per_dec, 3),
+                "n_runs": len(tick_ms),
+                "spread_pct": spread_pct(tick_ms) if tick_ms else 0.0,
+            }))
+            return
         server = NavServer(cfg, nav.params, max_nodes=serve_nodes,
                            max_cands=serve_world.tables.cand_ids.shape[2],
                            model=nav.model)

@@ -223,3 +223,39 @@ def test_teacher_forced_trajectories_match():
         assert taken == list(it["path_idx"][1:])
     assert float(aux["ml_loss"]) == pytest.approx(ref["ml_loss_sum"],
                                                   rel=2e-4, abs=1e-5)
+
+
+def test_expert_targets_and_losses_under_argmax():
+    """The spl-expert teacher action (the DAgger branch's supervision,
+    agent.py:350-374: min over unvisited tokens of d(cur->node) +
+    d(node->goal) over the FULL graph, first-strict-min tie-break) — pinned
+    by running both rollouts with feedback='argmax' and train_ml=1.0, where
+    the targets come from the expert, not the gt next hop."""
+    cfg = mk_cfg("dynamic")
+    env = mk_env()
+    world, items = mk_world_items(5)
+    model, params, tmodel = flax_and_torch(cfg, seed=11)
+
+    oracle = ReferenceRollout(cfg, world, tmodel,
+                              max_action_len=env.max_action_len,
+                              expert_policy=env.expert_policy)
+    ref = oracle.rollout(items, feedback="argmax", train_ml=1.0)
+
+    tables = Tables.from_world(world.tables)
+    rollout = Rollout(tables, env, model)
+    txt_ids = jnp.asarray(np.stack([it["instr_encoding"] for it in items]))
+    txt_masks = jnp.ones_like(txt_ids, dtype=bool)
+    state0 = episodes_from_items(tables, world, items, rollout.model_dims,
+                                 observed_parity=True)
+    state, aux = jax.jit(
+        lambda p, s: rollout.run(p, s, txt_ids, txt_masks, "argmax",
+                                 train_ml=1.0, deterministic=True))(
+        params, state0)
+    jax_actions = np.asarray(aux["actions"])
+    ref_actions = np.full_like(jax_actions, -1)
+    ref_actions[: ref["actions"].shape[0]] = ref["actions"]
+    np.testing.assert_array_equal(jax_actions, ref_actions)
+    # expert-supervised CE sums match (targets identical => losses identical
+    # up to framework fp noise)
+    assert float(aux["ml_loss"]) == pytest.approx(ref["ml_loss_sum"],
+                                                  rel=2e-4, abs=1e-5)

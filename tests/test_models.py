@@ -258,3 +258,37 @@ def test_reference_flag_parsing():
     assert cfg.teacher_model.num_attention_heads == 12
     assert cfg.distill.ability_types == ("txt", "img")
     assert cfg.model.intermediate_size == 1024
+
+
+def test_attn_logits_f32_noop_at_f32_and_close_at_bf16():
+    """ModelConfig.attn_logits_f32 reads the attention logits from the MXU's
+    f32 accumulator (preferred_element_type) instead of bf16-rounded scores
+    converted back before the softmax.  At f32 compute dtype the accumulator
+    IS the default result — bit-identical outputs (goldens safe); at bf16 it
+    must stay within bf16 rounding of the default path (it is numerically
+    CLOSER to the torch-f32 reference, never farther)."""
+    from dataclasses import replace
+
+    base = ModelConfig(
+        vocab_size=200, hidden_size=64, num_attention_heads=4, num_l_layers=1,
+        num_pano_layers=1, num_x_layers=2, image_feat_size=32,
+        max_position_embeddings=64)
+    acc = replace(base, attn_logits_f32=True)
+    batch = _randomized(dummy_step_batch(base, gmap_len=7, pano_len=5))
+    params = DualScaleVLNBert(base).init(jax.random.PRNGKey(0), batch)
+
+    # f32 compute: exact no-op
+    o0 = DualScaleVLNBert(base).apply(params, batch)
+    o1 = DualScaleVLNBert(acc).apply(params, batch)
+    for key in ("cls_embeds", "gmap_embeds", "fused_logits"):
+        np.testing.assert_array_equal(np.asarray(o0[key]),
+                                      np.asarray(o1[key]), err_msg=key)
+
+    # bf16 compute: runs, finite, within bf16 rounding of the default path
+    b0 = DualScaleVLNBert(base, dtype=jnp.bfloat16).apply(params, batch)
+    b1 = DualScaleVLNBert(acc, dtype=jnp.bfloat16).apply(params, batch)
+    a, b = np.asarray(b0["fused_logits"], np.float32), \
+        np.asarray(b1["fused_logits"], np.float32)
+    mask = a > -1e8
+    assert np.all(np.isfinite(b[mask]))
+    np.testing.assert_allclose(a[mask], b[mask], atol=0.15)

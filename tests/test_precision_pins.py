@@ -43,7 +43,6 @@ PKG = pathlib.Path(__file__).resolve().parent.parent / "vln_magic_tpu"
 UNPINNED_OK = {
     # observed-subgraph APSP relax: distances enter model geometry via
     # pos-ft normalization; relax min-plus validated vs networkx on TPU
-    ("agent/rollout.py", "relax_observed", "bcn,bnm->bcm"): 2,  # [bnd]
     ("agent/rollout.py", "relax_observed", "bn,bnm->bm"): 2,    # [bnd]
     # candidate view-feature selection feeding the bf16 panorama encoder
     ("agent/rollout.py", "assemble_pano", "bcv,bvd->bcd"): 1,   # [bnd]
@@ -68,10 +67,11 @@ UNPINNED_OK = {
     ("agent/rollout.py", "walk", "bn,bn->b"): 1,                # [int]
     ("agent/rollout.py", "_observed_next", "bn,bnc->bc"): 1,    # [bnd]
     ("agent/rollout.py", "_observed_next", "bcn,bn->bc"): 2,    # [bnd]
-    ("agent/rollout.py", "_observed_next", "bn,bn->b"): 1,      # [int]
     ("agent/rollout.py", "_record_backtrack", "bn,bnm->bm"): 1, # [bnd]
-    # model compute: attention/pooling matmuls (bf16 is the point)
-    ("models/layers.py", "__call__", "bqhd,bkhd->bhqk"): 1,     # [compute]
+    # model compute: attention/pooling matmuls (bf16 is the point; the
+    # second QK site carries preferred_element_type=f32 — an ACCUMULATOR
+    # dtype choice, not a precision pin — for ModelConfig.attn_logits_f32)
+    ("models/layers.py", "__call__", "bqhd,bkhd->bhqk"): 2,     # [compute]
     ("models/layers.py", "__call__", "bhqk,bkhd->bqhd"): 1,     # [compute]
     ("models/mega.py", "__call__", "xqd,xkd->xqk"): 1,          # [compute]
     ("models/mega.py", "__call__", "xqk,xkd->xqd"): 1,          # [compute]

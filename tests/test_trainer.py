@@ -274,3 +274,45 @@ def test_gradient_accumulation_matches_big_batch(world, items):
         np.testing.assert_allclose(p_acc[k], p_big[k], atol=2e-6, err_msg=k)
         moved += int(not np.array_equal(p0[k], p_acc[k]))
     assert moved > 10   # the step actually applied
+
+
+def test_bf16_grad_accumulation_matches_f32(world, items):
+    """TrainConfig.grads_dtype='bfloat16': the f32 master params are cast to
+    bf16 BEFORE jax.grad, moving the scan backward's weight-grad running sums
+    (the dominant non-matmul bucket, docs/PERF.md round-3 decomposition) to
+    half the HBM bytes.  At bf16 compute dtype the forward is value-identical
+    (the model casts params to bf16 anyway), so the LOSS must match the f32
+    baseline exactly; the updated params agree to bf16 grad-rounding, and the
+    masters stay f32."""
+    from vln_magic_tpu.utils.checkpoint import flatten_params
+
+    model = ModelConfig(
+        vocab_size=300, hidden_size=32, num_attention_heads=2,
+        num_l_layers=1, num_pano_layers=1, num_x_layers=1, image_feat_size=16,
+        max_position_embeddings=64, hidden_dropout=0.0, attention_dropout=0.0)
+    mk = lambda gdt: MagicConfig(
+        model=model, env=EnvConfig(max_action_len=4, max_gmap_len=16),
+        train=TrainConfig(batch_size=4, lr=1e-3, train_alg="imitation",
+                          optim="sgd", compute_dtype="bfloat16",
+                          grads_dtype=gdt, seed=3))
+    batch = items[:4]
+
+    f32 = Trainer(mk("float32"), world)
+    m_f32 = f32.train_step(batch)
+    bf16 = Trainer(mk("bfloat16"), world)
+    m_bf16 = bf16.train_step(batch)
+
+    # forward identical => identical loss (params cast to bf16 either way)
+    assert float(m_bf16["loss"]) == pytest.approx(float(m_f32["loss"]),
+                                                  rel=1e-6)
+    p_f, p_b = flatten_params(f32.params), flatten_params(bf16.params)
+    moved = 0
+    for k in p_f:
+        # masters stay f32 — the bf16 cast lives inside loss_fn only
+        assert p_b[k].dtype == p_f[k].dtype, k
+        # updates differ only by bf16 rounding of the per-step grad sums
+        scale = max(1e-3, float(np.max(np.abs(p_f[k]))))
+        np.testing.assert_allclose(p_b[k], p_f[k], atol=0.03 * scale,
+                                   err_msg=k)
+        moved += int(not np.allclose(p_f[k], p_b[k]))
+    assert np.isfinite(m_bf16["grad_norm"]) and m_bf16["grad_norm"] > 0

@@ -341,9 +341,24 @@ class Trainer:
         alg = c.train.train_alg
         icod = self.kdl and c.distill.train_teacher
         rl = alg not in ("imitation", "dagger")   # the reference's A2C branch
+        # bf16 weight-grad accumulation (TrainConfig.grads_dtype): cast the
+        # f32 master params to bf16 BEFORE grad, so the scan backward's
+        # per-step weight-grad sums carry bf16 (half the HBM traffic of the
+        # dominant non-matmul bucket); the cast's own backward converts the
+        # final sum to f32 once for the optimizer
+        bf16_grads = c.train.grads_dtype == "bfloat16"
+
+        def cast_params(tree):
+            if not bf16_grads or tree is None:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, tree)
 
         def loss_fn(params, critic_params, t_params, tables, state0,
                     txt_ids, txt_masks, rng, ability_grads, zdicts):
+            params = cast_params(params)
+            t_params = cast_params(t_params)
             k1, k2 = jax.random.split(rng)
             total = jnp.zeros(())
             t_total = jnp.zeros(())

@@ -95,6 +95,12 @@ class ModelConfig:
     # = f32 softmax (torch-parity numerics); True is the matching opt-in
     # speed knob for serving
     softmax_compute_dtype_attn: bool = False
+    # attention logits from the MXU's f32 accumulator instead of
+    # bf16-rounded scores converted before the softmax: drops the convert
+    # pair AND is numerically closer to the torch-f32 reference; no-op at
+    # f32 compute dtype (goldens unchanged).  Opt-in pending the TPU
+    # semantic-fraction check (docs/PERF.md methodology)
+    attn_logits_f32: bool = False
 
     # knowledge-distillation heads (student role projects to teacher width)
     kd_heads: bool = False
@@ -215,6 +221,13 @@ class TrainConfig:
     gamma: float = 0.9                   # RL discount (parser.py:93)
     entropy_loss_weight: float = 0.01    # (parser.py:48)
     compute_dtype: str = "float32"       # bfloat16 on TPU training
+    # weight-grad accumulation dtype across the rollout scan's backward.
+    # "bfloat16" casts the (f32 master) params to bf16 BEFORE jax.grad, so
+    # the scan carry that sums per-step weight gradients — the train
+    # backward's dominant non-matmul bucket (docs/PERF.md round-3
+    # decomposition) — moves half the HBM bytes; the one f32 convert happens
+    # at the cast's backward, and the optimizer still updates f32 masters.
+    grads_dtype: str = "float32"
     # rematerialize each rollout step in the backward pass (jax.checkpoint):
     # trades ~one extra forward for O(T) less activation HBM, raising the
     # trainable batch ceiling (the dual-model 15-step scan otherwise keeps

@@ -42,6 +42,13 @@ class MultiHeadAttention(nn.Module):
     # dtype (bf16) drops the convert+reduce pairs that measured 16% of eval
     # device time (opt-in: ModelConfig.softmax_compute_dtype_attn)
     softmax_in_dtype: bool = False
+    # attention logits straight out of the MXU's f32 accumulator
+    # (preferred_element_type) instead of bf16-rounded scores converted back
+    # to f32 before the softmax: kills the convert pair AND is numerically
+    # CLOSER to the torch-f32 reference than the default bf16 round-trip.
+    # No-op when the compute dtype is already f32 (CPU tests / goldens).
+    # Opt-in: ModelConfig.attn_logits_f32; measured on TPU in docs/PERF.md
+    logits_f32: bool = False
 
     @nn.compact
     def __call__(self, q_input, kv_input, bias=None, deterministic=True,
@@ -104,14 +111,23 @@ class MultiHeadAttention(nn.Module):
         if k.ndim == 3:          # hoisted K/V arrives pre-split
             k = k.reshape(k.shape[:-1] + (h, hd))
             v = v.reshape(v.shape[:-1] + (h, hd))
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
-        if bias is not None:
-            scores = scores + bias.astype(scores.dtype)
-        if self.softmax_in_dtype:
-            probs = nn.softmax(scores, axis=-1)
+        if self.logits_f32 and not self.softmax_in_dtype:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) \
+                / jnp.sqrt(hd).astype(jnp.float32)
+            if bias is not None:
+                scores = scores + bias.astype(jnp.float32)
+            probs = nn.softmax(scores, axis=-1).astype(self.dtype)
         else:
-            probs = nn.softmax(scores.astype(jnp.float32),
-                               axis=-1).astype(self.dtype)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) \
+                / jnp.sqrt(hd).astype(self.dtype)
+            if bias is not None:
+                scores = scores + bias.astype(scores.dtype)
+            if self.softmax_in_dtype:
+                probs = nn.softmax(scores, axis=-1)
+            else:
+                probs = nn.softmax(scores.astype(jnp.float32),
+                                   axis=-1).astype(self.dtype)
         probs_drop = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs_drop, v)
         ctx = ctx.reshape(ctx.shape[0], ctx.shape[1], d)
@@ -162,6 +178,7 @@ class TransformerLayer(nn.Module):
     use_pallas: bool = False
     gelu_approx: bool = False
     softmax_in_dtype: bool = False
+    logits_f32: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, bias=None, deterministic=True):
@@ -172,7 +189,8 @@ class TransformerLayer(nn.Module):
             attn_bias = bias if attn_bias is None else attn_bias + bias
         attn_out, probs = MultiHeadAttention(
             self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
-            self.use_pallas, self.softmax_in_dtype, name="attention",
+            self.use_pallas, self.softmax_in_dtype, self.logits_f32,
+            name="attention",
         )(x, x, attn_bias, deterministic)
         x = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
                     name="attention_norm")(x, attn_out, deterministic)
@@ -201,6 +219,7 @@ class CrossModalLayer(nn.Module):
     use_pallas: bool = False
     gelu_approx: bool = False
     softmax_in_dtype: bool = False
+    logits_f32: bool = False
 
     @nn.compact
     def __call__(self, visn, lang, visn_mask, lang_mask, self_bias=None,
@@ -214,7 +233,8 @@ class CrossModalLayer(nn.Module):
 
         x_out, x_probs = MultiHeadAttention(
             self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
-            self.use_pallas, self.softmax_in_dtype, name="crossattention",
+            self.use_pallas, self.softmax_in_dtype, self.logits_f32,
+            name="crossattention",
         )(visn, lang, lang_bias, deterministic, precomputed_kv=cross_kv)
         visn = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
                        name="crossattention_norm")(visn, x_out, deterministic)
@@ -223,6 +243,7 @@ class CrossModalLayer(nn.Module):
             l_out, _ = MultiHeadAttention(
                 self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
                 softmax_in_dtype=self.softmax_in_dtype,
+                logits_f32=self.logits_f32,
                 name="lang2visn_attention",
             )(lang, visn, visn_bias, deterministic)
             lang = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
@@ -233,7 +254,8 @@ class CrossModalLayer(nn.Module):
             self_attn_bias = self_attn_bias + self_bias
         s_out, _ = MultiHeadAttention(
             self.hidden_size, self.num_heads, self.attn_dropout, self.dtype,
-            self.use_pallas, self.softmax_in_dtype, name="self_attention",
+            self.use_pallas, self.softmax_in_dtype, self.logits_f32,
+            name="self_attention",
         )(visn, visn, self_attn_bias, deterministic)
         visn = AddNorm(self.hidden_size, self.dropout, self.eps, self.dtype,
                        name="self_norm")(visn, s_out, deterministic)

@@ -67,6 +67,7 @@ class LanguageEncoder(nn.Module):
                 dtype=self.dtype, use_pallas=c.use_pallas_attention,
                 gelu_approx=c.gelu_approximate,
                 softmax_in_dtype=c.softmax_compute_dtype_attn,
+                logits_f32=c.attn_logits_f32,
                 name=f"layer_{i}")
             for i in range(c.num_l_layers)
         ]
@@ -170,6 +171,7 @@ class PanoEncoder(nn.Module):
                 dtype=self.dtype, use_pallas=c.use_pallas_attention,
                 gelu_approx=c.gelu_approximate,
                 softmax_in_dtype=c.softmax_compute_dtype_attn,
+                logits_f32=c.attn_logits_f32,
                 name=f"layer_{i}",
             )(x, pano_masks, deterministic=deterministic)
             attns.append(probs)
@@ -221,6 +223,7 @@ class CrossModalEncoder(nn.Module):
                 use_pallas=c.use_pallas_attention,
                 gelu_approx=c.gelu_approximate,
                 softmax_in_dtype=c.softmax_compute_dtype_attn,
+                logits_f32=c.attn_logits_f32,
                 name=f"layer_{i}",
             )(visn, lang, visn_mask, lang_mask, self_bias, deterministic,
               cross_kv=cross_kvs[i] if cross_kvs is not None else None)
