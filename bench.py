@@ -370,10 +370,11 @@ def main():
         def block():
             for i in range(iters):
                 t, b = dev[i % len(dev)]
+                fn, _names = trainer._steps[t]
                 state["params"], state["opt_state"], state["m"] = \
-                    trainer._steps[t](state["params"], state["opt_state"],
-                                      trainer.t_params, b, keys[i])
-            return state["m"]["loss"]
+                    fn(state["params"], state["opt_state"],
+                       trainer.t_params, b, keys[i])
+            return state["m"]
 
         if args.profile:
             jax.profiler.start_trace(args.profile)
@@ -381,12 +382,13 @@ def main():
         wall = float(np.median(walls))
         if args.profile:
             jax.profiler.stop_trace()
-        m = state["m"]
+        last_names = trainer._steps[dev[(iters - 1) % len(dev)][0]][1]
+        m = dict(zip(last_names, map(float, np.asarray(state["m"]))))
         trainer.params, trainer.opt_state = state["params"], state["opt_state"]
         ms = wall / iters * 1000.0
         if args.roofline:
             t0_, b0 = dev[0]
-            print_roofline(trainer._steps[t0_],
+            print_roofline(trainer._steps[t0_][0],
                            (params, opt_state, trainer.t_params, b0, keys[0]),
                            ms, f"pretrain_step[{t0_}]")
         print(f"loss={float(m['loss']):.3f} batch={batch} iters={iters}; "

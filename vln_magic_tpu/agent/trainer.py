@@ -203,6 +203,7 @@ class Trainer:
                                                   every_k_schedule=accum)
                 self.t_opt_state = self.t_opt.init(self.t_params)
         self._step_fn = None
+        self._metric_names = None
         self._ability_grad_fns = {}
         # device mesh for multi-chip training (the reference's default mode
         # is DDP, main_nav.py:681 init_distributed; here: episode batches
@@ -420,6 +421,14 @@ class Trainer:
             metrics["loss"] = total
             return total + t_total, metrics
 
+        # metric names are trace-time static (the dict's keys depend only on
+        # cfg branches); captured once so the jitted step can return ONE
+        # packed f32 vector instead of a dict of device scalars — on a
+        # remote-attached chip each scalar fetch is a serial device round
+        # trip AFTER the step completes, and round trips, not bytes, dominate
+        # the tunnel (the serving subsystem's measured lesson, bc7a3de)
+        metric_names = []
+
         def step(params, opt_state, critic_params, critic_opt_state,
                  t_params, t_opt_state, tables, state0, txt_ids, txt_masks,
                  rng, ability_grads, zdicts):
@@ -451,10 +460,15 @@ class Trainer:
                 updates, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
             metrics["grad_norm"] = optax.global_norm(grads)
+            names = sorted(metrics)
+            if not metric_names:      # trace-time capture (keys are static)
+                metric_names.extend(names)
+            packed = jnp.stack([metrics[k].astype(jnp.float32)
+                                for k in names])
             return (params, opt_state, critic_params, critic_opt_state,
-                    t_params, t_opt_state, metrics)
+                    t_params, t_opt_state, packed)
 
-        return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5))
+        return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5)), metric_names
 
     def use_mesh(self, mesh):
         """Shard training over a device mesh: params tensor-parallel over
@@ -491,7 +505,7 @@ class Trainer:
 
     def train_step(self, items, zdicts=None, aug=False):
         if self._step_fn is None:
-            self._step_fn = self._make_step()
+            self._step_fn, self._metric_names = self._make_step()
         if zdicts is None:
             zdicts = self.zdicts
         txt_ids, txt_masks = pad_instructions(items, self.cfg.env.max_instr_len)
@@ -515,13 +529,16 @@ class Trainer:
         with ctx:
             (self.params, self.opt_state, self.critic_params,
              self.critic_opt_state, self.t_params, self.t_opt_state,
-             metrics) = self._step_fn(
+             packed) = self._step_fn(
                 self.params, self.opt_state, self.critic_params,
                 self.critic_opt_state, self.t_params, self.t_opt_state,
                 self.tables, state0, txt_ids, txt_masks, k,
                 jnp.asarray(self.ability_grads), zdicts)
         self.iteration += 1
-        return {k: float(v) for k, v in metrics.items()}
+        # ONE device->host transfer for every metric (vs one serial round
+        # trip per scalar on a remote-attached chip)
+        vals = np.asarray(packed)
+        return dict(zip(self._metric_names, map(float, vals)))
 
     # ----- checkpointing (agent_base.py:298-359 semantics) -----
 

@@ -176,14 +176,24 @@ class PretrainTrainer:
             metrics["loss"] = loss
             return loss, metrics
 
+        # metric names are trace-time static per task; the jitted step
+        # returns ONE packed f32 vector so the host pays a single device
+        # round trip per step, not one per scalar (remote-tunnel lesson)
+        metric_names = []
+
         def step(params, opt_state, t_params, batch, rng):
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, t_params, batch, rng)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, metrics
+            names = sorted(metrics)
+            if not metric_names:
+                metric_names.extend(names)
+            packed = jnp.stack([jnp.asarray(metrics[k], jnp.float32)
+                                for k in names])
+            return params, opt_state, packed
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step, donate_argnums=(0, 1)), metric_names
 
     def use_mesh(self, mesh):
         """Shard pretraining over a device mesh: replicate/TP the params,
@@ -207,6 +217,7 @@ class PretrainTrainer:
     def train_step(self, task, batch):
         if task not in self._steps:
             self._steps[task] = self._make_step(task)
+        fn, names = self._steps[task]
         self.rng, k = jax.random.split(self.rng)
         if self.mesh is not None:
             from ..parallel import shard_batch
@@ -214,14 +225,15 @@ class PretrainTrainer:
             batch = {k2: shard_batch(jnp.asarray(v), self.mesh)
                      for k2, v in batch.items()}
             with jax.set_mesh(self.mesh):
-                self.params, self.opt_state, metrics = self._steps[task](
+                self.params, self.opt_state, packed = fn(
                     self.params, self.opt_state, self.t_params, batch, k)
         else:
             batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
-            self.params, self.opt_state, metrics = self._steps[task](
+            self.params, self.opt_state, packed = fn(
                 self.params, self.opt_state, self.t_params, batch, k)
         self.iteration += 1
-        return {k2: float(v) for k2, v in metrics.items()}
+        # one D2H for all metrics
+        return dict(zip(names, map(float, np.asarray(packed))))
 
     def fit(self, items, iters, task_ratios=None, batch_size=None,
             callback=None, prefetch: int = 2):
