@@ -261,6 +261,12 @@ def main():
                          "hoist (cross-attention K/V over the instruction "
                          "recomputed every scan step instead of once per "
                          "episode)")
+    ap.add_argument("--stream", type=int, default=None, metavar="QMULT",
+                    help="continuous-batching eval (agent/streaming.py): "
+                         "decode a queue of QMULT x batch episodes with "
+                         "in-scan lane refill instead of fixed waves; "
+                         "0 disables (waves), default 4 on the default eval "
+                         "path (off for --parity/--latency)")
     ap.add_argument("--parity", action="store_true", default=False,
                     help="observed-subgraph graph semantics (GraphMap parity)")
     ap.add_argument("--rxr", action="store_true", default=False,
@@ -550,6 +556,50 @@ def main():
         return
 
     nav = Navigator(cfg, world)
+
+    stream_q = args.stream
+    if stream_q is None:
+        # default ON for the plain eval path: continuous batching is how a
+        # corpus decode should run (docs/PERF.md "continuous batching");
+        # parity keeps the batch evaluator (streaming.py docstring) and
+        # --latency measures a single wave by definition
+        stream_q = 0 if (args.parity or args.latency or args.roofline) else 4
+    if stream_q:
+        if args.parity:
+            raise SystemExit("--stream needs the full-table path (no --parity)")
+        q = batch * stream_q
+        s_items = make_synthetic_instructions(
+            world, q, rng,
+            min_path=3 if args.smoke else 8 if args.rxr else 4,
+            max_path=4 if args.smoke else 15 if args.rxr else 7)
+        for it in s_items:
+            it["instr_encoding"] = rng.integers(4, 1000, txt_len) \
+                .astype(np.int32)
+        se = nav.stream_eval(batch)
+        run = lambda: se.run(nav.params, nav.tables, s_items,
+                             cfg.env.max_instr_len)
+        out = run()   # compile + warmup
+        if args.profile:
+            jax.profiler.start_trace(args.profile)
+        walls = timed_blocks(run, args.repeats or 3, lambda o: None)
+        wall = float(np.median(walls))
+        if args.profile:
+            jax.profiler.stop_trace()
+        sem, pipe = out["semantic_steps"], out["scan_steps"] * batch
+        sps = sem / wall
+        print(f"stream: {q} episodes over {batch} lanes, "
+              f"{out['chunks']} chunks; pipeline={pipe / wall:.1f} steps/s; "
+              f"semantic fraction {sem / pipe:.2f}; median of {len(walls)} "
+              f"runs, spread {spread_pct(walls)}%", file=sys.stderr)
+        print(json.dumps({
+            "metric": "nav_steps_per_sec_per_chip",
+            "value": round(sps, 1),
+            "unit": "steps/s/chip",
+            "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),
+            "n_runs": len(walls), "spread_pct": spread_pct(walls),
+        }))
+        return
+
     txt_ids, txt_masks = pad_instructions(items, cfg.env.max_instr_len)
     state0 = episodes_from_items(nav.tables, world, items,
                                  nav.rollout.model_dims,

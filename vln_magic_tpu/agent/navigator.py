@@ -163,10 +163,29 @@ class Navigator:
         return state, aux
 
     def evaluate(self, items, feedback="argmax", batch_size=None,
-                 zdicts=None, ensemble_n=1, detailed_output=False):
+                 zdicts=None, ensemble_n=1, detailed_output=False,
+                 stream=None):
         """Greedy decode + metrics over an item list (the reference's
-        valid() loop, main_nav.py:561-667, without the process boundary)."""
+        valid() loop, main_nav.py:561-667, without the process boundary).
+
+        ``stream``: continuous-batching decode (agent/streaming.py) — lanes
+        refill from an episode queue inside the compiled scan instead of
+        idling until the wave's slowest episode ends.  ``None`` (default)
+        auto-enables it when eligible (argmax, full-table path, no ensemble/
+        detailed output/mesh); per-episode decodes are pinned identical to
+        the batch path (tests/test_streaming.py)."""
         bs = batch_size or self.cfg.train.batch_size
+        eligible = (feedback == "argmax" and ensemble_n == 1
+                    and not detailed_output and self.mesh is None
+                    and not self.cfg.env.observed_graph_parity)
+        if stream is None:
+            stream = eligible and len(items) > bs
+        if stream:
+            if not eligible:
+                raise ValueError("stream=True needs argmax feedback, no "
+                                 "ensemble/detailed_output/mesh, and the "
+                                 "full-table (non-parity) path")
+            return self._evaluate_stream(items, bs, zdicts)
         preds = []
         gmap_overflow = 0
         for i in range(0, len(items), bs):
@@ -203,4 +222,26 @@ class Navigator:
         # step (tokens silently truncated — raise --max_gmap_len); padded
         # tail duplicates can overcount by a few, never undercount
         avg["gmap_overflow"] = float(gmap_overflow)
+        return (avg, per_item), preds
+
+    def stream_eval(self, batch_size=None):
+        """The continuous-batching decoder, cached per lane width."""
+        from .streaming import StreamEval
+
+        bs = batch_size or self.cfg.train.batch_size
+        key = ("stream", bs)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = StreamEval(self.rollout, self.cfg.env, bs)
+        return self._jit_cache[key]
+
+    def _evaluate_stream(self, items, bs, zdicts):
+        se = self.stream_eval(bs)
+        out = se.run(self.params, self.tables, items,
+                     self.cfg.env.max_instr_len, zdicts=zdicts)
+        preds = build_trajectories(
+            self.world, items, out["actions"].T, out["stop_node"],
+            out["final_cur"])
+        ev = Evaluator(self.world, items)
+        avg, per_item = ev.eval_metrics(preds)
+        avg["gmap_overflow"] = float(out["overflow"].sum())
         return (avg, per_item), preds
