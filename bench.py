@@ -261,12 +261,16 @@ def main():
                          "hoist (cross-attention K/V over the instruction "
                          "recomputed every scan step instead of once per "
                          "episode)")
-    ap.add_argument("--stream", type=int, default=None, metavar="QMULT",
+    ap.add_argument("--stream", type=int, default=0, metavar="QMULT",
                     help="continuous-batching eval (agent/streaming.py): "
                          "decode a queue of QMULT x batch episodes with "
-                         "in-scan lane refill instead of fixed waves; "
-                         "0 disables (waves), default 4 on the default eval "
-                         "path (off for --parity/--latency)")
+                         "chunk-boundary lane refill instead of fixed "
+                         "waves; 0 (default) keeps the batch evaluator — "
+                         "at the bench workload's ~0.79 live fraction the "
+                         "refill machinery costs more than the idle steps "
+                         "it reclaims (docs/PERF.md 'continuous batching'); "
+                         "streaming wins on ragged corpora (trained models "
+                         "stopping early, mixed-length splits)")
     ap.add_argument("--parity", action="store_true", default=False,
                     help="observed-subgraph graph semantics (GraphMap parity)")
     ap.add_argument("--rxr", action="store_true", default=False,
@@ -558,12 +562,6 @@ def main():
     nav = Navigator(cfg, world)
 
     stream_q = args.stream
-    if stream_q is None:
-        # default ON for the plain eval path: continuous batching is how a
-        # corpus decode should run (docs/PERF.md "continuous batching");
-        # parity keeps the batch evaluator (streaming.py docstring) and
-        # --latency measures a single wave by definition
-        stream_q = 0 if (args.parity or args.latency or args.roofline) else 4
     if stream_q:
         if args.parity:
             raise SystemExit("--stream needs the full-table path (no --parity)")
@@ -576,8 +574,11 @@ def main():
             it["instr_encoding"] = rng.integers(4, 1000, txt_len) \
                 .astype(np.int32)
         se = nav.stream_eval(batch)
-        run = lambda: se.run(nav.params, nav.tables, s_items,
-                             cfg.env.max_instr_len)
+        # the item bank is params-independent — prepared once per corpus
+        # (the eval-every-K-iters pattern); the lang forward + drain are
+        # what repeat per eval and what the wall times
+        prep = se.prepare(s_items, cfg.env.max_instr_len)
+        run = lambda: se.run(nav.params, nav.tables, prepared=prep)
         out = run()   # compile + warmup
         if args.profile:
             jax.profiler.start_trace(args.profile)

@@ -1,7 +1,8 @@
 """Continuous-batching (streaming) eval: per-episode decode equivalence.
 
 The streamed decoder (agent/streaming.py) refills ended lanes from an episode
-queue inside the compiled scan; these tests pin it byte-identical, per
+queue at compiled-chunk boundaries inside one device-resident while_loop;
+these tests pin it byte-identical, per
 episode, to the batch evaluator — trajectories, stop nodes, metrics — across
 fusion modes, queue sizes that don't divide the lane count, and queues
 smaller than the lanes.
@@ -108,6 +109,23 @@ def test_stream_auto_gating():
         nav2.evaluate(items, batch_size=4, stream=True)
 
 
+def test_stream_prepared_bank_reuse():
+    """prepare() once + run(prepared=) twice equals run(items) — the
+    eval-every-K-iters pattern reuses the params-independent item bank."""
+    world, cfg, nav = _setup()
+    items = _items(world, 6)
+    se = nav.stream_eval(4)
+    ref = se.run(nav.params, nav.tables, items, cfg.env.max_instr_len)
+    prep = se.prepare(items, cfg.env.max_instr_len)
+    for _ in range(2):
+        out = se.run(nav.params, nav.tables, prepared=prep)
+        np.testing.assert_array_equal(out["actions"], ref["actions"])
+        np.testing.assert_array_equal(out["stop_node"], ref["stop_node"])
+        assert out["semantic_steps"] == ref["semantic_steps"]
+    with pytest.raises(ValueError):
+        se.run(nav.params, nav.tables)   # neither items nor prepared
+
+
 def test_stream_semantic_accounting():
     """Semantic steps equal the batch path's total live-step count, and the
     streamed pipeline runs FEWER scan iterations than the batch waves."""
@@ -121,6 +139,6 @@ def test_stream_semantic_accounting():
         sem_batch += int(aux["semantic_steps"])
     assert out["semantic_steps"] == sem_batch
     # the streamed pipeline needs no more scan iterations than the 3 batch
-    # waves plus one drain chunk (it typically needs fewer; at this toy
-    # scale the bound is what's deterministic)
-    assert out["scan_steps"] <= (3 + 1) * cfg.env.max_action_len
+    # waves plus drain/group rounding (it typically needs fewer; at this
+    # toy scale the bound is what's deterministic)
+    assert out["scan_steps"] <= (3 + 2) * cfg.env.max_action_len

@@ -9,11 +9,15 @@ in the minibatch has ended (reference map_nav_src/r2r/agent.py:1109-1110).
 
 This module closes that gap the way LLM serving does with continuous
 batching: a device-resident episode QUEUE.  Lanes whose episode ended are
-refilled *inside the compiled scan* from banked episode metadata + banked
-instruction encodings, so every scan step runs (nearly) B live episodes until
-the queue drains.  Per-episode outputs are scattered into [Q]-indexed buffers
-at the step each episode ends, which makes the streamed decode byte-identical
-to the batch decode per episode (pinned in tests/test_streaming.py):
+refilled at compiled-chunk boundaries from banked episode metadata + a banked
+language forward, so the lanes stay (nearly) full until the queue drains —
+a lane idles at most chunk-1 steps, vs up to the whole wave in batch mode.
+(Per-STEP in-scan refill was built first and measured: the refill machinery
+cost +14% on every scan step — more than the idle steps it saved; boundary
+refill keeps the scan body identical to the batch step.  docs/PERF.md.)
+Per-episode outputs are scattered into [Q]-indexed buffers at the step each
+episode ends, which makes the streamed decode byte-identical to the batch
+decode per episode (pinned in tests/test_streaming.py):
 
 - lane state reset = the same ``init_episodes`` math the batch path uses;
 - per-lane step clocks (``lane_t``) replace the global scan index everywhere
@@ -59,7 +63,12 @@ class StreamEval:
         self.ro = rollout
         self.env = env_cfg
         self.lanes = int(batch_lanes)
-        self.chunk = int(chunk_steps or env_cfg.max_action_len)
+        # chunk = the refill/drain granularity: an ended lane idles at most
+        # chunk-1 steps before a boundary refill, but every boundary pays
+        # the refill + table-hoist cost — T/3 balances the two at the R2R
+        # shape (chunk boundaries are in-device while_loop iterations, so
+        # they cost compute only, never a host sync)
+        self.chunk = int(chunk_steps or max(2, env_cfg.max_action_len // 3))
         self.policy_key = {
             "dynamic": "fused_logits", "avg": "fused_logits",
             "global": "global_logits", "local": "local_logits",
@@ -69,20 +78,41 @@ class StreamEval:
             raise ValueError(
                 "streaming eval supports the full-table path only; parity "
                 "mode keeps the batch evaluator (module docstring)")
-        self._chunk_fn = jax.jit(self._run_chunk, donate_argnums=(3,))
-        self._init_fn = jax.jit(self._init_carry)
+        # the WHOLE decode — lane init, chunked while_loop, drain check —
+        # is ONE jitted dispatch: any host-side chunk loop pays a blocking
+        # done-flag read per lookahead group, and through a remote-attached
+        # TPU every read is a tunnel round trip (~10-30 ms); measured
+        # ladder in docs/PERF.md "continuous batching" (round 4)
+        self._drain_fn = jax.jit(self._drain)
+        # ONE cached jit for the bank language forward: a fresh jit closure
+        # per build_banks call re-traces every run — 4 traces x ~0.3 s on a
+        # 1-CPU host measured as the dominant cost of the whole streamed
+        # run (TPU profile: device busy 0.41 s of a 2.14 s wall)
+        self._lang_fn = jax.jit(self._lang)
 
     # ------------------------------------------------------------------
     # banks
     # ------------------------------------------------------------------
 
-    def build_banks(self, params, items, max_instr_len: int,
-                    max_gt_len: int = 24, zdicts=None):
-        """Device banks for Q episodes: per-episode world metadata + the
-        hoisted language forward (txt embeds and, when enabled, the
-        per-cross-layer instruction K/V — the same hoist Rollout.run does)."""
+    def prepare(self, items, max_instr_len: int, max_gt_len: int = 24):
+        """The params-INDEPENDENT episode bank for a queue of items: world
+        metadata + tokenized instructions, padded to a lane multiple and
+        shipped to the device once.
+
+        A corpus is decoded many times with fresh params (eval every K
+        iters); this host/numpy/H2D work (~60 ms at Q=1024 on this box) is
+        identical every time, so callers hold one prepared bank per split
+        and pass it to :meth:`run` — only the language forward re-runs."""
+        q_real = len(items)
+        items = list(items)
+        if q_real == 0:
+            raise ValueError("empty item list")
+        # pad the queue to a lane multiple: fills the lanes, and bounds the
+        # bank-shape buckets (one lang/drain program per padded Q) so
+        # different dataset sizes reuse compiled programs
+        while len(items) % self.lanes:
+            items.append(items[len(items) % q_real])
         q = len(items)
-        model = self.ro.model
         scan = np.array([it["scan_idx"] for it in items], np.int32)
         start = np.array([it["path_idx"][0] for it in items], np.int32)
         heading = np.array([it["heading"] for it in items], np.float32)
@@ -105,44 +135,38 @@ class StreamEval:
             enc = np.asarray(it["instr_encoding"])[:L]
             ids[i, : len(enc)] = enc
             masks[i, : len(enc)] = True
-
-        zd = self._zd_for(zdicts, self.lanes)
-        hoist = (self.ro.cfg.hoist_text_kv
-                 and not self.ro.cfg.fuse_branches)
-
-        @jax.jit
-        def lang(p_, ids_, masks_, zdc):
-            emb, _attns = model.apply(
-                p_, ids_, masks_, instr_zdict=zdc.get("instr_zdict"),
-                front_txt_feats=zdc.get("front_txt_feats"),
-                deterministic=True, method=type(model).language)
-            kv = (model.apply(p_, emb, method=type(model).text_cross_kv)
-                  if hoist else None)
-            return emb, kv
-
-        embs, kvs = [], []
-        b = self.lanes
-        for q0 in range(0, q, b):
-            sl = slice(q0, min(q0 + b, q))
-            n = sl.stop - sl.start
-            pad = b - n
-            ids_c = np.concatenate([ids[sl], np.ones((pad, L), np.int32)]) \
-                if pad else ids[sl]
-            m_c = np.concatenate([masks[sl], np.zeros((pad, L), bool)]) \
-                if pad else masks[sl]
-            e, kv = lang(params, jnp.asarray(ids_c), jnp.asarray(m_c), zd)
-            embs.append(e[:n])
-            kvs.append(jax.tree_util.tree_map(lambda x: x[:n], kv))
-        txt_kv = (jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *kvs)
-            if hoist else None)
         return {
+            "q_real": q_real,
             "scan": jnp.asarray(scan), "start": jnp.asarray(start),
             "heading": jnp.asarray(heading), "gt_path": jnp.asarray(gt_path),
             "gt_len": jnp.asarray(gt_len),
-            "txt_embeds": jnp.concatenate(embs, axis=0),
-            "txt_masks": jnp.asarray(masks),
-        }, txt_kv
+            "txt_ids": jnp.asarray(ids), "txt_masks": jnp.asarray(masks),
+        }
+
+    def build_banks(self, params, prepared, zdicts=None):
+        """Banks for the drain: the prepared episode metadata plus the
+        params-dependent hoisted language forward (txt embeds and, when
+        enabled, the per-cross-layer instruction K/V — the same hoist
+        Rollout.run does), as one jitted call over the whole queue."""
+        zd_q = self._zd_for(zdicts, prepared["scan"].shape[0])
+        emb, txt_kv = self._lang_fn(params, prepared["txt_ids"],
+                                    prepared["txt_masks"], zd_q)
+        banks = {k: v for k, v in prepared.items()
+                 if k not in ("q_real", "txt_ids")}
+        banks["txt_embeds"] = emb
+        return banks, txt_kv
+
+    def _lang(self, params, ids, masks, zdc):
+        """Bank language forward + (when enabled) the hoisted cross K/V."""
+        model = self.ro.model
+        emb, _attns = model.apply(
+            params, ids, masks, instr_zdict=zdc.get("instr_zdict"),
+            front_txt_feats=zdc.get("front_txt_feats"),
+            deterministic=True, method=type(model).language)
+        kv = (model.apply(params, emb, method=type(model).text_cross_kv)
+              if self.ro.cfg.hoist_text_kv and not self.ro.cfg.fuse_branches
+              else None)
+        return emb, kv
 
     def _zd_for(self, zdicts, b):
         """Student intervention dicts broadcast over the lane batch (the same
@@ -195,43 +219,75 @@ class StreamEval:
             "rng": jax.random.PRNGKey(0),
         }
 
-    def _run_chunk(self, params, tables, banks, carry, txt_kv_bank, zd):
-        """One compiled chunk of ``self.chunk`` scan steps.
+    def _max_chunks(self, q: int) -> int:
+        """Hard drain bound: every episode ends within ``max_action_len`` of
+        its start (plus <chunk idle steps before its lane refills at a
+        boundary), and lanes always hold an undrained episode before the
+        queue empties."""
+        return 2 + ((q // self.lanes + 2)
+                    * (self.env.max_action_len + self.chunk)
+                    + self.chunk - 1) // self.chunk
 
-        A chunk entered with a fully-drained queue is the IDENTITY via
-        ``lax.cond`` — the host pipelines chunks one ahead (the done check
-        for chunk i overlaps chunk i+1's execution), and the one speculative
-        chunk dispatched past the drain costs ~nothing."""
+    def _drain(self, params, tables, banks, txt_kv_bank, zd):
+        """The whole queue decode as ONE device program: lane init, then a
+        ``lax.while_loop`` whose body is [boundary refill + ``self.chunk``
+        pure eval scan steps], looping until the queue is empty and every
+        lane has ended (bounded by ``_max_chunks`` as a runaway backstop).
+
+        Refill at the chunk boundary — not inside the scan — keeps the scan
+        body byte-for-byte the batch step: an in-scan refill re-ran the
+        episode init, a tree-wide select over the whole EpisodeBatch, and
+        the bank gathers EVERY step, measured at +14% per scan step — more
+        than the idle steps it saved (docs/PERF.md round 4).  A lane that
+        ends mid-chunk idles at most chunk-1 steps (masked compute, same as
+        the batch path's post-ended iterations).  Boundary refill also
+        restores the per-episode world-table hoist (``ep``): lane scans are
+        constant within a chunk.
+
+        Returns ``(carry, chunks_run, drained)``."""
         ro = self.ro
         q = banks["scan"].shape[0]
-        done_in = carry["state"].ended.all() & (carry["ptr"] >= q)
+        max_chunks = self._max_chunks(q)
+        carry = self._init_carry(tables, banks, txt_kv_bank)
 
-        def body(c):
-            prev_t = ro.t
-            ro.t = tables
-            try:
+        def drained(c):
+            return c["state"].ended.all() & (c["ptr"] >= q)
+
+        prev_t = ro.t
+        ro.t = tables
+        try:
+            def cond(s):
+                c, n = s
+                return ~drained(c) & (n < max_chunks)
+
+            def body(s):
+                c, n = s
+                c = self._refill(banks, txt_kv_bank, c)
+                # per-episode world-table slices, hoisted per chunk (the
+                # same hoist Rollout.run does per wave)
+                ep = {"dist_f": tables.dist[c["state"].scan],
+                      "pos": tables.positions[c["state"].scan],
+                      "nh_f": tables.next_hop[c["state"].scan]
+                          .astype(jnp.float32)}
+
                 def step(cc, _):
-                    return self._step(params, banks, txt_kv_bank, zd, cc), None
+                    return self._step(params, zd, ep, q, cc), None
 
                 c, _ = jax.lax.scan(step, c, None, length=self.chunk)
-            finally:
-                ro.t = prev_t
-            return c
+                return c, n + 1
 
-        carry = jax.lax.cond(done_in, lambda c: c, body, carry)
-        all_done = carry["state"].ended.all() & (carry["ptr"] >= q)
-        return carry, all_done
+            carry, chunks = jax.lax.while_loop(
+                cond, body, (carry, jnp.zeros((), jnp.int32)))
+        finally:
+            ro.t = prev_t
+        return carry, chunks, drained(carry)
 
-    def _step(self, params, banks, txt_kv_bank, zd, c):
+    def _refill(self, banks, txt_kv_bank, c):
+        """Assign queued episodes to ended lanes and reset lane state/text
+        (the same ``init_episodes`` math the batch path runs per wave)."""
         ro = self.ro
-        env = self.env
-        b = self.lanes
         q = banks["scan"].shape[0]
-        t_budget = env.max_action_len
         state: EpisodeBatch = c["state"]
-        bufs = dict(c["bufs"])
-
-        # ---- refill ended lanes from the queue (top of step) ------------
         ended = state.ended
         e_i = ended.astype(jnp.int32)
         rank = jnp.cumsum(e_i) - e_i                     # exclusive prefix
@@ -244,22 +300,35 @@ class StreamEval:
             banks["gt_len"][new_idx], ro.model_dims, observed_parity=False)
         state = jax.tree_util.tree_map(
             lambda f, o: jnp.where(_bcast(refill, o), f, o), fresh, state)
-        ep_idx = new_idx
-        lane_t = jnp.where(refill, 0, c["lane_t"])
-        ptr = c["ptr"] + refill.sum(dtype=jnp.int32)
-        txt_e = jnp.where(refill[:, None, None],
-                          banks["txt_embeds"][new_idx], c["txt_e"])
-        txt_m = jnp.where(refill[:, None], banks["txt_masks"][new_idx],
-                          c["txt_m"])
         txt_kv = c["txt_kv"]
         if txt_kv is not None:
             txt_kv = jax.tree_util.tree_map(
                 lambda bank, cur: jnp.where(_bcast(refill, cur),
                                             bank[new_idx], cur),
                 txt_kv_bank, txt_kv)
+        return {
+            **c, "state": state, "ep_idx": new_idx,
+            "ptr": c["ptr"] + refill.sum(dtype=jnp.int32),
+            "lane_t": jnp.where(refill, 0, c["lane_t"]),
+            "txt_e": jnp.where(refill[:, None, None],
+                               banks["txt_embeds"][new_idx], c["txt_e"]),
+            "txt_m": jnp.where(refill[:, None], banks["txt_masks"][new_idx],
+                               c["txt_m"]),
+            "txt_kv": txt_kv,
+        }
 
-        # ---- the eval step (Rollout.run's step_fn eval slice, with the
-        # per-lane clock lane_t standing in for the global scan index) -----
+    def _step(self, params, zd, ep, q, c):
+        """One pure eval scan step (Rollout.run's step_fn eval slice, with
+        the per-lane clock ``lane_t`` standing in for the global scan index
+        everywhere it has per-episode meaning)."""
+        ro = self.ro
+        env = self.env
+        b = self.lanes
+        t_budget = env.max_action_len
+        state: EpisodeBatch = c["state"]
+        bufs = dict(c["bufs"])
+        ep_idx, lane_t = c["ep_idx"], c["lane_t"]
+
         rng, k_drop, k_act = jax.random.split(c["rng"], 3)
         bi = jnp.arange(b)
         live0 = ~state.ended
@@ -268,17 +337,18 @@ class StreamEval:
             bi, jnp.where(live0, state.cur, trash)].set(
             jnp.where(live0, lane_t + 1, state.step_ids[bi, trash])))
         pano = ro.assemble_pano(state)
-        gmap_base = ro.assemble_gmap_base(state)
-        vp_base = ro.assemble_vp_base(state, pano, gmap_base)
+        gmap_base = ro.assemble_gmap_base(state, ep)
+        vp_base = ro.assemble_vp_base(state, pano, gmap_base, ep)
         state, gmap, outs = ro._model_step(
-            ro.model, params, "student", state, txt_e, txt_m, k_drop,
-            True, zd, 1, (pano, gmap_base, vp_base), txt_kv=txt_kv)
+            ro.model, params, "student", state, c["txt_e"], c["txt_m"],
+            k_drop, True, zd, 1, (pano, gmap_base, vp_base),
+            txt_kv=c["txt_kv"])
         logits = outs[self.policy_key]
         a = ro.select_action(logits, "argmax", k_act, None, gmap, state)
         stop_prob = jax.nn.softmax(logits, axis=-1)[:, 0]
         state, chosen, just_ended = ro.transition(
             state, gmap, a, stop_prob, lane_t, "argmax", pano=pano,
-            local_actions=self.local_acts)
+            local_actions=self.local_acts, ep=ep)
 
         # ---- record ------------------------------------------------------
         # per-step action into the episode's row (dead lanes -> trash row q)
@@ -295,10 +365,8 @@ class StreamEval:
         bufs["done"] = bufs["done"].at[erow].set(True)
 
         return {
-            "state": state, "ep_idx": ep_idx, "ptr": ptr,
+            **c, "state": state, "bufs": bufs,
             "lane_t": lane_t + live0.astype(jnp.int32),
-            "txt_e": txt_e, "txt_m": txt_m, "txt_kv": txt_kv,
-            "bufs": bufs,
             "sem": c["sem"] + live0.sum(dtype=jnp.int32),
             "rng": rng,
         }
@@ -307,8 +375,8 @@ class StreamEval:
     # driver
     # ------------------------------------------------------------------
 
-    def run(self, params, tables: Tables, items, max_instr_len: int,
-            zdicts=None):
+    def run(self, params, tables: Tables, items=None, max_instr_len=None,
+            zdicts=None, prepared=None):
         """Decode every episode in ``items`` through the refilled lanes.
 
         Returns a dict of per-episode numpy outputs: ``actions`` [Q, T]
@@ -316,41 +384,34 @@ class StreamEval:
         ``final_cur`` [Q], ``overflow`` [Q] bool, plus ``semantic_steps``,
         ``scan_steps`` (pipeline iterations run) and ``chunks``.
 
-        The host loop runs one chunk AHEAD of the done check: the blocking
-        read of chunk i's done flag overlaps chunk i+1's device execution,
-        so the device never idles on the host round trip (the speculative
-        chunk past the drain is an identity cond — _run_chunk docstring).
+        Pass ``prepared=self.prepare(items, max_instr_len)`` to reuse the
+        params-independent item bank across repeated decodes of the same
+        split (the eval-every-K-iters pattern) — then only the language
+        forward and the drain run per call.
+
+        The decode is one device-resident ``lax.while_loop`` dispatch
+        (``_drain`` docstring) — the host's only blocking read is the final
+        result fetch, so a remote-attached chip pays ONE tunnel round trip
+        per corpus, not one per chunk group.
         """
-        q_real = len(items)
-        items = list(items)
-        if q_real == 0:
-            raise ValueError("empty item list")
-        while len(items) < self.lanes:   # queue must fill the lanes once
-            items.append(items[len(items) % q_real])
-        banks, txt_kv_bank = self.build_banks(
-            params, items, max_instr_len, zdicts=zdicts)
+        if prepared is None:
+            if items is None or max_instr_len is None:
+                raise ValueError("run() needs items+max_instr_len or "
+                                 "prepared=")
+            prepared = self.prepare(items, max_instr_len)
+        q_real = prepared["q_real"]
+        banks, txt_kv_bank = self.build_banks(params, prepared,
+                                              zdicts=zdicts)
         zd = self._zd_for(zdicts, self.lanes)
-        carry = self._init_fn(tables, banks, txt_kv_bank)
-        q = len(items)
-        # hard bound: every episode ends within max_action_len of its start,
-        # and at least one lane is live in every pre-done chunk
-        max_chunks = 2 + (q * self.env.max_action_len) // max(
-            self.chunk, 1)
-        carry, done_prev = self._chunk_fn(params, tables, banks, carry,
-                                          txt_kv_bank, zd)
-        chunks = 1
-        for _ in range(max_chunks):
-            # enqueue the next chunk BEFORE syncing on the previous flag
-            carry, done_i = self._chunk_fn(params, tables, banks, carry,
+        carry, chunks, ok = self._drain_fn(params, tables, banks,
                                            txt_kv_bank, zd)
-            if bool(done_prev):
-                break
-            chunks += 1
-            done_prev = done_i
-        else:
-            raise RuntimeError("streaming eval failed to drain the queue "
-                               f"in {max_chunks} chunks (bug)")
-        bufs = jax.tree_util.tree_map(np.asarray, carry["bufs"])
+        bufs = jax.device_get(carry["bufs"])
+        chunks = int(chunks)
+        if not bool(ok):
+            raise RuntimeError(
+                "streaming eval failed to drain the queue in "
+                f"{self._max_chunks(prepared['scan'].shape[0])} chunks "
+                "(bug)")
         assert bufs["done"][:q_real].all(), "episode left undecoded (bug)"
         return {
             "actions": bufs["actions"][:q_real],
