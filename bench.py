@@ -324,6 +324,21 @@ def main():
         build_cfg(args, args.smoke)
     if args.scans:
         scans = args.scans
+    # self-describing artifact: the workload shape rides the JSON line so
+    # BENCH_r0N.json series are comparable without PERF.md context (the
+    # round-1 44k vs round-2+ ~30k delta was a shape change, not a
+    # regression)
+    shape = {
+        "batch": batch, "T": t_steps, "max_gmap": cfg.env.max_gmap_len,
+        "scans": scans, "nodes": nodes, "feat_dim": feat,
+        "txt_len": txt_len, "hidden": cfg.model.hidden_size,
+        "dtype": args.dtype, "mode": ("pretrain" if args.pretrain else
+                                      "train" if args.train else
+                                      "fleet" if args.fleet else
+                                      "serve" if args.serve else
+                                      "latency" if args.latency else
+                                      "stream" if args.stream else "eval"),
+    }
     import ml_dtypes
     world = make_synthetic_world(
         num_scans=scans, nodes_per_scan=nodes, feat_dim=feat, seed=0,
@@ -411,6 +426,7 @@ def main():
             "unit": "ms/step",
             "vs_baseline": round(BASELINE_PRETRAIN_MS / ms, 3),
             "n_runs": len(walls), "spread_pct": spread_pct(walls),
+            "shape": shape,
         }))
         return
 
@@ -456,6 +472,7 @@ def main():
             "unit": "ms/step",
             "vs_baseline": round(BASELINE_TRAIN_MS / ms, 3),
             "n_runs": len(walls), "spread_pct": spread_pct(walls),
+            "shape": shape,
         }))
         return
 
@@ -520,6 +537,7 @@ def main():
                 "vs_baseline": round(33.3 / per_dec, 3),
                 "n_runs": len(tick_ms),
                 "spread_pct": spread_pct(tick_ms) if tick_ms else 0.0,
+                "shape": dict(shape, fleet=k, nodes=serve_nodes),
             }))
             return
         server = NavServer(cfg, nav.params, max_nodes=serve_nodes,
@@ -556,6 +574,7 @@ def main():
             "value": round(ms, 2),
             "unit": "ms/decision",
             "vs_baseline": round(33.3 / ms, 3),   # 30 Hz control budget
+            "shape": dict(shape, nodes=serve_nodes),
         }))
         return
 
@@ -598,6 +617,7 @@ def main():
             "unit": "steps/s/chip",
             "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),
             "n_runs": len(walls), "spread_pct": spread_pct(walls),
+            "shape": dict(shape, stream_qmult=stream_q),
         }))
         return
 
@@ -657,6 +677,7 @@ def main():
             "unit": "ms/step",
             "vs_baseline": round(33.3 / step_ms, 3),   # 30 Hz budget
             "n_runs": len(walls), "spread_pct": spread_pct(walls),
+            "shape": shape,
         }))
         return
     print(json.dumps({
@@ -665,6 +686,7 @@ def main():
         "unit": "steps/s/chip",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),
         "n_runs": len(walls), "spread_pct": spread_pct(walls),
+        "shape": shape,
     }))
 
 

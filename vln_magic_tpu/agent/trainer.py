@@ -203,6 +203,7 @@ class Trainer:
                                                   every_k_schedule=accum)
                 self.t_opt_state = self.t_opt.init(self.t_params)
         self._step_fn = None
+        self._grad_fn = None
         self._metric_names = None
         self._ability_grad_fns = {}
         # device mesh for multi-chip training (the reference's default mode
@@ -337,7 +338,11 @@ class Trainer:
                                         + (1 - c.distill.t_alpha) * t_ml[1])
         return total, t_total, metrics
 
-    def _make_step(self):
+    def _make_loss_fn(self):
+        """The full train loss (IL/DAgger/A2C branches + MAKD + ICoD) as a
+        pure function of (params, critic_params, t_params, ...) — shared by
+        the jitted optimizer step and by :meth:`compute_grads` (the
+        optimizer-free gradient hook the dp-equivalence tests pin)."""
         c = self.cfg
         alg = c.train.train_alg
         icod = self.kdl and c.distill.train_teacher
@@ -421,6 +426,11 @@ class Trainer:
             metrics["loss"] = total
             return total + t_total, metrics
 
+        return loss_fn, icod, rl
+
+    def _make_step(self):
+        loss_fn, icod, rl = self._make_loss_fn()
+
         # metric names are trace-time static (the dict's keys depend only on
         # cfg branches); captured once so the jitted step can return ONE
         # packed f32 vector instead of a dict of device scalars — on a
@@ -469,6 +479,52 @@ class Trainer:
                     t_params, t_opt_state, packed)
 
         return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5)), metric_names
+
+    def compute_grads(self, items, rng, zdicts=None, aug=False):
+        """Gradient pytrees for one batch WITHOUT an optimizer update.
+
+        The dp-equivalence certification hook: asserting dp-sharded
+        gradients == single-device gradients (allclose) directly pins the
+        ICI psum with NO optimizer in the loop — Adam's m/sqrt(v) rescaling
+        amplifies cross-shard f32 reduction noise on near-zero-gradient
+        leaves (measured, tests/test_multichip.py), so a params-level pin
+        under adamW is noisy where the gradient-level pin is exact.
+
+        ``rng`` is explicit (not drawn from ``self.rng``) so both sides of
+        an A/B see the identical key.  Returns ``(loss, grads)`` where
+        ``grads`` mirrors the jitted step's partitions: the student pytree,
+        plus the teacher pytree under ICoD or the critic pytree under RL.
+        """
+        if not hasattr(self, "_grad_fn") or self._grad_fn is None:
+            loss_fn, icod, rl = self._make_loss_fn()
+            argnums = (0, 2) if icod else ((0, 1) if rl else 0)
+            self._grad_fn = jax.jit(
+                jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True))
+        if zdicts is None:
+            zdicts = self.zdicts
+        txt_ids, txt_masks = pad_instructions(items, self.cfg.env.max_instr_len)
+        state0 = episodes_from_items(
+            self.tables, self.world, items, self.rollout.model_dims,
+            observed_parity=self.cfg.env.observed_graph_parity,
+            aug=aug and self.tables.aug_features is not None)
+        txt_ids, txt_masks = jnp.asarray(txt_ids), jnp.asarray(txt_masks)
+        if self.mesh is not None:
+            from ..parallel import shard_batch, shard_pytree_batch
+
+            state0 = shard_pytree_batch(state0, self.mesh)
+            txt_ids = shard_batch(txt_ids, self.mesh)
+            txt_masks = shard_batch(txt_masks, self.mesh)
+            ctx = jax.set_mesh(self.mesh)
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            (loss, _metrics), grads = self._grad_fn(
+                self.params, self.critic_params, self.t_params, self.tables,
+                state0, txt_ids, txt_masks, rng,
+                jnp.asarray(self.ability_grads), zdicts)
+        return loss, grads
 
     def use_mesh(self, mesh):
         """Shard training over a device mesh: params tensor-parallel over
