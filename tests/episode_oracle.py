@@ -241,6 +241,21 @@ def ref_kd_loss(s_logits, t_logits, temperature=1.0, t_sample_weights=None,
     return out * scale
 
 
+def ref_cal_dtw(dist, index, prediction, reference, threshold=3.0):
+    """nDTW of a node-id path against the gt path over full-graph distances
+    (reference r2r/eval_utils.py:6-26 cal_dtw, the ndtw-expert's score)."""
+    m = np.full((len(prediction) + 1, len(reference) + 1), np.inf)
+    m[0][0] = 0.0
+    for i in range(1, len(prediction) + 1):
+        for j in range(1, len(reference) + 1):
+            best = min(m[i - 1][j], m[i][j - 1], m[i - 1][j - 1])
+            cost = float(dist[index[prediction[i - 1]],
+                              index[reference[j - 1]]])
+            m[i][j] = cost + best
+    dtw = m[len(prediction)][len(reference)]
+    return math.exp(-dtw / (threshold * len(reference)))
+
+
 def ref_exponential_decay(losses, decay_rate=0.7):
     return torch.exp(-decay_rate * losses)
 
@@ -261,7 +276,7 @@ class ReferenceRollout:
     argmax or teacher feedback."""
 
     def __init__(self, cfg, world, model, teacher_model=None, distill=None,
-                 max_action_len=8, expert_policy="spl"):
+                 max_action_len=8, expert_policy="spl", zdicts=None):
         self.cfg = cfg                  # flax ModelConfig (student)
         self.world = world
         self.model = model.eval()       # TorchDualScaleVLNBert
@@ -269,6 +284,31 @@ class ReferenceRollout:
         self.distill = distill          # DistillConfig or None
         self.max_action_len = max_action_len
         self.expert_policy = expert_policy
+        # per-role intervention dictionaries {"student": {...}, "teacher":
+        # {...}} in the SAME structure Rollout.run(zdicts=...) takes —
+        # constants broadcast over the batch (agent.py:43-90 front feats,
+        # :63-90 instr zdict repeat, :162-164 img zdict repeat)
+        self.zdicts = zdicts or {}
+        # --fusion action-score selection (parser.py:16): 'local' switches
+        # the action space to viewpoint-candidate slots
+        self.fusion = getattr(cfg, "fusion", "dynamic")
+
+    def _role_zd(self, role, b):
+        """One role's zdicts -> torch tensors broadcast over the batch."""
+        z = self.zdicts.get(role) or {}
+        out = {}
+        for k, v in z.items():
+            if v is None:
+                continue
+            if isinstance(v, dict):
+                out[k] = {
+                    k2: torch.from_numpy(np.asarray(v2, np.float32))
+                    .unsqueeze(0).expand(b, *np.asarray(v2).shape).clone()
+                    for k2, v2 in v.items()}
+            else:
+                tv = torch.from_numpy(np.asarray(v, np.float32))
+                out[k] = tv.unsqueeze(0).expand(b, *tv.shape).clone()
+        return out
 
     # ----- token assembly (agent.py:175-328) -----
 
@@ -429,7 +469,7 @@ class ReferenceRollout:
     # ----- supervision (agent.py:330-374) -----
 
     def _teacher_action(self, obs, vpids, ended, visited_masks,
-                        imitation_learning, t):
+                        imitation_learning, t, traj=None):
         g = self.world
         a = np.zeros(len(obs), np.int64)
         for i, ob in enumerate(obs):
@@ -460,10 +500,31 @@ class ReferenceRollout:
                             if vpid is None:
                                 continue
                             vi = gr.index[vpid]
-                            # spl expert over the FULL graph (the env's
-                            # shortest_distances, agent.py:364-366)
-                            dist = (float(gr.dist[vi, goal])
-                                    + float(gr.dist[cur, vi]))
+                            if self.expert_policy == "ndtw":
+                                # ndtw expert (the RxR regime,
+                                # run_rxr_kdl_valid.sh --expert_policy ndtw;
+                                # agent.py:356-363): -nDTW of (executed
+                                # trajectory + FULL-graph shortest path to
+                                # the candidate) vs the gt path
+                                flat = [vp for seg in traj[i]["path"]
+                                        for vp in seg]
+                                ext = gr.path(ob["viewpoint"], vpid)[1:]
+                                dist = -ref_cal_dtw(
+                                    gr.dist, gr.index, flat + ext,
+                                    ob["gt_path"], threshold=3.0)
+                            else:
+                                # spl expert over the FULL graph (the env's
+                                # shortest_distances, agent.py:364-366).
+                                # Summed at f32 — every node ON the current
+                                # shortest path has the IDENTICAL true cost
+                                # d(cur,goal), so which one is the "strict"
+                                # min is pure fp noise (upstream too: nx f64
+                                # APSP has its own); f32 sums of the f32
+                                # tables make the tie resolve to first token
+                                # order on both frameworks
+                                dist = np.float32(
+                                    np.float32(gr.dist[vi, goal])
+                                    + np.float32(gr.dist[cur, vi]))
                             if dist < min_dist:
                                 min_dist = dist
                                 min_idx = j
@@ -492,15 +553,24 @@ class ReferenceRollout:
         traj = [{"instr_id": ob["instr_id"], "path": [[ob["viewpoint"]]]}
                 for ob in obs]
 
+        # per-role intervention dictionaries, broadcast over the batch
+        # (agent.py:767-791 z_dicts/t_z_dicts unpack + get_front_variable)
+        s_zd = self._role_zd("student", b)
+        t_zd = self._role_zd("teacher", b)
+
         # language (fixed-length encodings -> no padding ambiguity)
         txt_ids = torch.from_numpy(
             np.stack([np.asarray(it["instr_encoding"], np.int64)
                       for it in items]))
         txt_masks = torch.ones_like(txt_ids, dtype=torch.bool)
         with torch.no_grad():
-            txt_embeds, txt_attns = self.model.language(txt_ids, txt_masks)
+            txt_embeds, txt_attns = self.model.language(
+                txt_ids, txt_masks, instr_zdict=s_zd.get("instr_zdict"),
+                front_txt_feats=s_zd.get("front_txt_feats"))
             if kdl:
-                t_txt_embeds, _ = self.teacher.language(txt_ids, txt_masks)
+                t_txt_embeds, _ = self.teacher.language(
+                    txt_ids, txt_masks, instr_zdict=t_zd.get("instr_zdict"),
+                    front_txt_feats=t_zd.get("front_txt_feats"))
 
         ended = np.zeros(b, bool)
         just_ended = np.zeros(b, bool)
@@ -521,12 +591,16 @@ class ReferenceRollout:
                 pano_embeds, pano_fused, _ = self.model.panorama(
                     pano_inputs["view_img_fts"], pano_inputs["loc_fts"],
                     pano_inputs["nav_types"].clamp(min=0),
-                    pano_inputs["pano_masks"])
+                    pano_inputs["pano_masks"],
+                    z_img_feats=s_zd.get("z_img_feats"),
+                    z_img_pzs=s_zd.get("z_img_pzs"))
                 if kdl:
                     t_pano_embeds, t_pano_fused, _ = self.teacher.panorama(
                         pano_inputs["view_img_fts"], pano_inputs["loc_fts"],
                         pano_inputs["nav_types"].clamp(min=0),
-                        pano_inputs["pano_masks"])
+                        pano_inputs["pano_masks"],
+                        z_img_feats=t_zd.get("z_img_feats"),
+                        z_img_pzs=t_zd.get("z_img_pzs"))
 
             for i, gmap in enumerate(gmaps):
                 if ended[i]:
@@ -560,10 +634,17 @@ class ReferenceRollout:
                     nav_inputs["gmap_pair_dists"],
                     vp_inputs["vp_img_embeds"], vp_inputs["vp_pos_fts"],
                     vp_inputs["vp_masks"], vp_inputs["vp_nav_masks"],
-                    slot, cand_vis)
+                    slot, cand_vis,
+                    front_vp_feats=s_zd.get("front_vp_feats"),
+                    front_gmap_feats=s_zd.get("front_gmap_feats"))
             last_embeds = nav_outs["cls_embeds"]
-            nav_logits = nav_outs["fused_logits"]
-            nav_vpids = nav_inputs["gmap_vpids"]
+            logit_key = {"dynamic": "fused_logits", "avg": "fused_logits",
+                         "global": "global_logits",
+                         "local": "local_logits"}[self.fusion]
+            local_acts = self.fusion == "local"
+            nav_logits = nav_outs[logit_key]
+            nav_vpids = (vp_inputs["vp_cand_vpids"] if local_acts
+                         else nav_inputs["gmap_vpids"])
             nav_probs = torch.softmax(nav_logits, 1)
             if kdl:
                 t_nav_inputs = self._nav_gmap_variable(obs, gmaps,
@@ -584,9 +665,11 @@ class ReferenceRollout:
                         t_nav_inputs["gmap_pair_dists"],
                         t_vp_inputs["vp_img_embeds"],
                         t_vp_inputs["vp_pos_fts"], t_vp_inputs["vp_masks"],
-                        t_vp_inputs["vp_nav_masks"], slot, cand_vis)
+                        t_vp_inputs["vp_nav_masks"], slot, cand_vis,
+                        front_vp_feats=t_zd.get("front_vp_feats"),
+                        front_gmap_feats=t_zd.get("front_gmap_feats"))
                 t_last_embeds = t_nav_outs["cls_embeds"]
-                t_nav_logits = t_nav_outs["fused_logits"]
+                t_nav_logits = t_nav_outs[logit_key]
 
             # stop-score record (agent.py:986-996)
             for i, gmap in enumerate(gmaps):
@@ -596,10 +679,14 @@ class ReferenceRollout:
 
             nav_targets = None
             if train_ml is not None:
+                # fusion='local' supervises without a visited mask
+                # (agent.py:1003: visited_masks only when fusion != local)
                 nav_targets = self._teacher_action(
                     obs, nav_vpids, ended,
-                    visited_masks=nav_inputs["gmap_visited_masks"],
-                    imitation_learning=(feedback == "teacher"), t=t)
+                    visited_masks=(None if local_acts
+                                   else nav_inputs["gmap_visited_masks"]),
+                    imitation_learning=(feedback == "teacher"), t=t,
+                    traj=traj)
                 ce = torch.nn.CrossEntropyLoss(
                     ignore_index=IGNORE_ID, reduction="none")(
                     nav_logits, nav_targets)
