@@ -242,6 +242,35 @@ def write_hdf5_object_features(path: str, objs: dict):
             ds.attrs["sizes"] = np.asarray(sizes, np.float32)
 
 
+def write_hdf5_features(path: str, feats: dict[str, np.ndarray],
+                        dtype=np.float16):
+    """Writer for the real ``CLIP-ViT-B-16-views.hdf5`` layout (test
+    fixtures): key "{scan}_{vp}" -> [36, D].  The released files store fp16;
+    readers slice ``[:, :dim]`` and cast to f32 (reference
+    utils/data.py:46-49)."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        for key, ft in feats.items():
+            f.create_dataset(key, data=np.asarray(ft, dtype))
+
+
+def write_lmdb_features(path: str, feats: dict[str, np.ndarray]):
+    """msgpack-encoded LMDB twin of the view-feature store (the reference's
+    third reader family, pretrain_src/data/dataset.py:818-884)."""
+    import lmdb
+    import msgpack
+
+    env = lmdb.open(path, map_size=1 << 28)
+    with env.begin(write=True) as txn:
+        for key, ft in feats.items():
+            ft = np.ascontiguousarray(ft, np.float32)
+            txn.put(key.encode("ascii"), msgpack.packb(
+                {"data": ft.tobytes(), "dtype": str(ft.dtype),
+                 "shape": list(ft.shape)}, use_bin_type=True))
+    env.close()
+
+
 def write_tsv_features(path: str, feats: dict[str, np.ndarray]):
     """Writer for the reference TSV layout (test fixtures + CFP exports)."""
     fields = ["scanId", "viewpointId", "image_w", "image_h", "vfov", "features"]
