@@ -870,10 +870,47 @@ class FleetSession(NavSession):
     def finish(self) -> dict:
         return self.fleet.finish(self.slot)
 
-    def save(self, path: str):          # pragma: no cover - fleet sessions
-        raise NotImplementedError(      # persist via the fleet (future work)
-            "FleetSession.save: use a standalone NavServer session for "
-            "crash-recovery checkpoints")
+    def save(self, path: str):
+        """Persist this slot's episode in the SAME blob format as a
+        standalone :meth:`NavSession.save`: the lane's device state and
+        feature rows are sliced out of the fleet's batched buffers, with
+        ``state.scan`` normalized to 0 so the blob is fleet-agnostic — a
+        crashed fleet controller can resume the episode on a fresh
+        :class:`NavFleet` (``restore_session``) OR on a standalone
+        :class:`NavServer` (``NavSession.restore``), and vice versa."""
+        import jax.tree_util as jtu
+        from flax import serialization
+
+        f = self.fleet
+        state = None
+        if self._started and f._state is not None:
+            lane = jtu.tree_map(lambda x: np.asarray(x)[self.slot : self.slot + 1],
+                                f._state)
+            lane = lane.replace(scan=np.zeros_like(np.asarray(lane.scan)))
+            state = jtu.tree_map(np.asarray,
+                                 serialization.to_state_dict(lane))
+        blob = {
+            "instr": self._instr,
+            "state": state,
+            # standalone feature layout [1, n, 36, d] (scan axis 1), so the
+            # blob restores on either server kind
+            "features": np.asarray(f._features[self.slot])[None],
+            "mirrors": {
+                "pos": self.h_pos, "dist": self.h_dist,
+                "cand_ids": self.h_cand_ids, "cand_dist": self.h_cand_dist,
+                "cand_view": self.h_cand_view,
+                "cand_heading": self.h_cand_heading,
+                "cand_elev": self.h_cand_elev,
+            },
+            "names": list(self._names),
+            "traj": list(self._traj),
+            "t_step": self.t_step,
+            "last_moved": self._last_moved,
+            "cur": self._cur,
+            "ended": self._ended,
+        }
+        with open(path, "wb") as f_out:
+            f_out.write(serialization.msgpack_serialize(blob))
 
 
 class NavFleet(NavServer):
@@ -892,7 +929,8 @@ class NavFleet(NavServer):
 
     def __init__(self, cfg: MagicConfig, params, slots: int = 8,
                  max_nodes: int | None = None, max_cands: int = 10,
-                 zdicts: dict | None = None, model=None):
+                 zdicts: dict | None = None, model=None,
+                 max_feature_gb: float = 8.0):
         super().__init__(cfg, params, max_nodes=max_nodes,
                          max_cands=max_cands, zdicts=zdicts, model=model)
         self.k = slots
@@ -900,6 +938,20 @@ class NavFleet(NavServer):
         d = self.cfg.model.image_feat_size
         L = self.cfg.env.max_instr_len
         dm = self.cfg.model.hidden_size
+        # HBM envelope guard: the fleet's dominant buffer is the per-slot
+        # feature bank, slots x n x 36 x d f32.  At the RxR node budget
+        # (n=206, d=768, 8 slots) that is ~4.6 GB of the chip's 16 GB; the
+        # node budget defaults from config, so a big max_gmap_len can blow
+        # it silently.  Raise max_feature_gb (or lower slots / max_nodes /
+        # image_feat_size) deliberately, not by surprise.
+        feat_gb = slots * n * 36 * d * 4 / 1e9
+        if feat_gb > max_feature_gb:
+            raise ValueError(
+                f"NavFleet feature bank would be {feat_gb:.1f} GB "
+                f"(slots={slots} x max_nodes={n} x 36 views x "
+                f"feat={d} f32) > max_feature_gb={max_feature_gb}; "
+                f"lower slots/max_nodes/image_feat_size or pass a larger "
+                f"max_feature_gb if the accelerator has the HBM for it")
         self._features = jnp.zeros((slots, n, 36, d), jnp.float32)
         self._txt_buf = jnp.zeros((slots, L, dm), jnp.float32)
         self._txt_mask_buf = jnp.zeros((slots, L), bool)
@@ -1026,6 +1078,65 @@ class NavFleet(NavServer):
 
     def release(self, slot: int):
         self._sessions.pop(slot, None)
+
+    def restore_session(self, path: str) -> FleetSession:
+        """Resume a saved session (written by :meth:`FleetSession.save` or
+        by a standalone :meth:`NavSession.save` — one blob format) into a
+        free slot: host mirrors restored verbatim, the feature rows and the
+        episode-state lane scattered into the fleet's batched buffers with
+        ``state.scan`` re-pointed at the new slot.  Closes the fleet half of
+        the SURVEY §5.3 crash-recovery contract."""
+        import jax.tree_util as jtu
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            blob = serialization.msgpack_restore(f.read())
+        sess = self.join(np.asarray(blob["instr"]))
+        slot = sess.slot
+        m = blob["mirrors"]
+        sess.h_pos[:] = m["pos"]
+        sess.h_dist[:] = m["dist"]
+        sess.h_cand_ids[:] = m["cand_ids"]
+        sess.h_cand_dist[:] = m["cand_dist"]
+        sess.h_cand_view[:] = m["cand_view"]
+        sess.h_cand_heading[:] = m["cand_heading"]
+        sess.h_cand_elev[:] = m["cand_elev"]
+        sess._names = [str(x) for x in blob["names"]]
+        sess._ids = {n: i for i, n in enumerate(sess._names)}
+        sess._traj = [str(x) for x in blob["traj"]]
+        sess.t_step = int(blob["t_step"])
+        sess._last_moved = bool(blob["last_moved"])
+        sess._cur = int(blob["cur"])
+        sess._ended = bool(blob["ended"])
+        sess._started = blob["state"] is not None
+        ft = np.asarray(blob["features"])
+        if ft.ndim == 4:               # standalone layout [1, n, 36, d]
+            ft = ft[0]
+        self._features = self._features.at[slot].set(jnp.asarray(ft))
+        if blob["state"] is not None:
+            lane = EpisodeBatch(**jtu.tree_map(jnp.asarray, blob["state"]))
+            lane = lane.replace(scan=jnp.full_like(lane.scan, slot))
+            if self._state is None:
+                # no tick has run yet: build the all-lanes holder exactly as
+                # the first tick would (every lane ended until it submits)
+                packed = jnp.asarray(np.stack([
+                    (self._sessions[s]._pack_mirrors()
+                     if s in self._sessions
+                     else np.zeros(self.n * 3 + self.n * self.n
+                                   + 5 * self.n * self.c, np.float32))
+                    for s in range(self.k)]))
+                tables = self._unpack_fleet(packed, self._features)
+                zeros = jnp.zeros(self.k, jnp.int32)
+                st = init_episodes(tables,
+                                   jnp.arange(self.k, dtype=jnp.int32),
+                                   zeros, jnp.zeros(self.k, jnp.float32),
+                                   zeros[:, None], jnp.ones(self.k, jnp.int32),
+                                   self.rollout.model_dims,
+                                   observed_parity=True)
+                self._state = st.replace(ended=jnp.ones(self.k, bool))
+            self._state = jtu.tree_map(
+                lambda buf, x: buf.at[slot].set(x[0]), self._state, lane)
+        return sess
 
     def step(self, obs_by_slot: dict[int, Observation]) \
             -> dict[int, NavDecision]:
