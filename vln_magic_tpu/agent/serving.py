@@ -858,11 +858,10 @@ class FleetSession(NavSession):
         self._traj: list[str] = []
 
     def _put_feature_row(self, v: int, row: np.ndarray):
-        f = self.fleet
-        f._features = f._feat_update_slot(f._features,
-                                          jnp.asarray(self.slot, jnp.int32),
-                                          jnp.asarray(v, jnp.int32),
-                                          jnp.asarray(row))
+        # queue for the next fused tick (NavFleet.step scatters every
+        # pending row inside the ONE tick dispatch); a session observes at
+        # most one new node per tick, so slot-keyed overwrite is exact
+        self.fleet._pending_rows[self.slot] = (v, row)
 
     def step(self, obs: Observation) -> NavDecision:
         return self.fleet.step({self.slot: obs})[self.slot]
@@ -893,8 +892,9 @@ class FleetSession(NavSession):
             "instr": self._instr,
             "state": state,
             # standalone feature layout [1, n, 36, d] (scan axis 1), so the
-            # blob restores on either server kind
-            "features": np.asarray(f._features[self.slot])[None],
+            # blob restores on either server kind; a row queued but not yet
+            # flushed by a tick (aborted step) is folded in here
+            "features": _slot_features_with_pending(f, self.slot),
             "mirrors": {
                 "pos": self.h_pos, "dist": self.h_dist,
                 "cand_ids": self.h_cand_ids, "cand_dist": self.h_cand_dist,
@@ -911,6 +911,17 @@ class FleetSession(NavSession):
         }
         with open(path, "wb") as f_out:
             f_out.write(serialization.msgpack_serialize(blob))
+
+
+def _slot_features_with_pending(fleet: "NavFleet", slot: int) -> np.ndarray:
+    """One slot's feature rows in the standalone [1, n, 36, d] layout, with
+    any row queued for the next tick (``fleet._pending_rows``) applied."""
+    ft = np.asarray(fleet._features[slot])[None].copy()
+    pend = fleet._pending_rows.get(slot)
+    if pend is not None:
+        v, row = pend
+        ft[0, v] = row
+    return ft
 
 
 class NavFleet(NavServer):
@@ -968,10 +979,11 @@ class NavFleet(NavServer):
                 kv_shape)
         self._state = None             # lazy: built on the first tick
         self._sessions: dict[int, FleetSession] = {}
-
-        self._feat_update_slot = jax.jit(
-            lambda feats, s, v, row: feats.at[s, v].set(row),
-            donate_argnums=(0,))
+        # feature rows observed since the last tick, keyed by slot; flushed
+        # INSIDE the fused tick program (one scatter) instead of one jit
+        # dispatch per session — the round-4 ladder's ~3.6 ms/session linear
+        # term was exactly K per-session dispatches through the tunnel
+        self._pending_rows: dict[int, tuple[int, np.ndarray]] = {}
 
         def join(params, ids, mask, txt_buf, mask_buf, kv_buf, slot):
             emb, kv = self._lang(params, ids, mask)
@@ -983,7 +995,11 @@ class NavFleet(NavServer):
             return txt_buf, mask_buf, kv_buf
 
         self._join_jit = jax.jit(join, donate_argnums=(3, 4, 5))
-        self._tick_jit = jax.jit(self._tick)
+        # donate the feature bank (can be GBs — see the envelope guard) so
+        # the in-program row scatter aliases in place; the episode state is
+        # NOT donated — EpisodeBatch inits share buffers between zero-filled
+        # leaves, and donation rejects aliased leaves in one pytree
+        self._tick_jit = jax.jit(self._tick, donate_argnums=(2,))
         self._fleet_finish_jit = jax.jit(self._fleet_finish)
 
     # ------------------------------------------------------------------
@@ -1020,12 +1036,28 @@ class NavFleet(NavServer):
             features=features,
         )
 
-    def _tick(self, params, packed, features, state, is_first, submit,
-              moved, v, heading, t_step, txt_embeds, txt_masks, txt_kv):
-        """One fused dispatch for every submitting lane: per-lane episode
+    def _tick(self, params, packed, features, feat_v, feat_rows, state,
+              ctl, txt_embeds, txt_masks, txt_kv):
+        """One fused dispatch for every submitting lane: this tick's newly
+        observed feature rows scattered into the bank, per-lane episode
         init (is_first), arrival relax/observe, model step, transition.
-        Non-submitting lanes come back bit-identical (full-state merge)."""
+        Non-submitting lanes come back bit-identical (full-state merge).
+
+        ``ctl`` packs the per-lane control scalars as ONE f32 [K, 6] buffer
+        (submit, is_first, moved, v, heading, t_step) — same lesson as the
+        standalone packed protocol: through a remote-attached chip, round
+        trips dominate, so the host ships 3 buffers (mirrors, ctl, rows),
+        not 9+K.  ``feat_v`` holds the sentinel ``n`` for lanes with no new
+        row this tick; the scatter drops out-of-range updates."""
         k = packed.shape[0]
+        features = features.at[jnp.arange(k), feat_v].set(
+            feat_rows, mode="drop")
+        submit = ctl[:, 0] > 0
+        is_first = ctl[:, 1] > 0
+        moved = ctl[:, 2] > 0
+        v = ctl[:, 3].astype(jnp.int32)      # node ids << 2^24: f32-exact
+        heading = ctl[:, 4]
+        t_step = ctl[:, 5].astype(jnp.int32)
         tables = self._unpack_fleet(packed, features)
         slot_ids = jnp.cumsum(jnp.ones_like(v)) - 1        # arange(k), traced
         fresh = init_episodes(tables, slot_ids, v, heading, v[:, None],
@@ -1047,7 +1079,7 @@ class NavFleet(NavServer):
         mrg = lambda ns, s: jnp.where(
             keep.reshape((k,) + (1,) * (ns.ndim - 1)), ns, s)
         merged = jax.tree_util.tree_map(mrg, new_state, state0)
-        return merged, out
+        return features, merged, out
 
     def _fleet_finish(self, packed, features, state):
         tables = self._unpack_fleet(packed, features)
@@ -1078,6 +1110,8 @@ class NavFleet(NavServer):
 
     def release(self, slot: int):
         self._sessions.pop(slot, None)
+        self._pending_rows.pop(slot, None)   # never scatter a stale row
+                                             # into a re-claimed slot
 
     def restore_session(self, path: str) -> FleetSession:
         """Resume a saved session (written by :meth:`FleetSession.save` or
@@ -1144,12 +1178,9 @@ class NavFleet(NavServer):
         advance ALL of them in one fused dispatch, return their decisions."""
         t0 = time.perf_counter()
         k = self.k
-        submit = np.zeros(k, bool)
-        is_first = np.zeros(k, bool)
-        moved = np.zeros(k, bool)
-        v_arr = np.zeros(k, np.int32)
+        ctl = np.zeros((k, 6), np.float32)   # submit/is_first/moved/v/
+        v_arr = np.zeros(k, np.int32)        # heading/t_step, one H2D
         heading = np.zeros(k, np.float32)
-        t_step = np.zeros(k, np.int32)
         pre_lens = {}
         for slot, obs in obs_by_slot.items():
             sess = self._sessions[slot]
@@ -1158,18 +1189,31 @@ class NavFleet(NavServer):
                     f"slot {slot}: episode already ended; call finish()")
             v = sess._ingest(obs)
             if not sess._started:
-                is_first[slot] = True
+                ctl[slot, 1] = 1.0
                 heading[slot] = obs.heading
             elif v != sess._cur:
                 raise ValueError(
                     f"slot {slot}: observation at '{obs.node}' but the "
                     f"session's current node is "
                     f"'{sess._names[sess._cur]}'")
-            submit[slot] = True
-            moved[slot] = sess._last_moved
+            ctl[slot, 0] = 1.0
+            ctl[slot, 2] = float(sess._last_moved)
+            ctl[slot, 3] = float(v)
+            ctl[slot, 5] = float(sess.t_step)
             v_arr[slot] = v
-            t_step[slot] = sess.t_step
             pre_lens[slot] = max(len(sess._traj), 1)
+        ctl[:, 4] = heading
+
+        # this tick's newly observed rows, fixed [K] layout (sentinel n =
+        # no update, dropped by the in-program scatter): same bytes as the
+        # old per-session dispatches, ONE transfer instead of K
+        d = self.cfg.model.image_feat_size
+        feat_v = np.full(k, self.n, np.int32)
+        feat_rows = np.zeros((k, 36, d), np.float32)
+        for slot, (v, row) in self._pending_rows.items():
+            feat_v[slot] = v
+            feat_rows[slot] = row
+        self._pending_rows.clear()
 
         packed = jnp.asarray(np.stack([
             (self._sessions[s]._pack_mirrors() if s in self._sessions
@@ -1186,10 +1230,9 @@ class NavFleet(NavServer):
                                self.rollout.model_dims,
                                observed_parity=True)
             self._state = st.replace(ended=jnp.ones(k, bool))
-        self._state, out = self._tick_jit(
-            self.params, packed, self._features, self._state,
-            jnp.asarray(is_first), jnp.asarray(submit), jnp.asarray(moved),
-            jnp.asarray(v_arr), jnp.asarray(heading), jnp.asarray(t_step),
+        self._features, self._state, out = self._tick_jit(
+            self.params, packed, self._features, jnp.asarray(feat_v),
+            jnp.asarray(feat_rows), self._state, jnp.asarray(ctl),
             self._txt_buf, self._txt_mask_buf, self._kv_buf)
         out = np.asarray(out)           # the ONE D2H per tick
         latency = (time.perf_counter() - t0) * 1000.0
