@@ -173,7 +173,11 @@ class Navigator:
         idling until the wave's slowest episode ends.  ``None`` (default)
         auto-enables it when eligible (argmax, full-table path, no ensemble/
         detailed output/mesh); per-episode decodes are pinned identical to
-        the batch path (tests/test_streaming.py)."""
+        the batch path (tests/test_streaming.py).  The default is measured,
+        not assumed: at the TRAINED regime (600-iter IL recipe, live
+        fraction 0.478) streaming beats waves 17.6k vs 17.4k steps/s on
+        TPU, and wins more the lower the live fraction falls
+        (scripts/measure_stream_gate.py; docs/PERF.md round 5)."""
         bs = batch_size or self.cfg.train.batch_size
         eligible = (feedback == "argmax" and ensemble_n == 1
                     and not detailed_output and self.mesh is None
