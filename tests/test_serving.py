@@ -592,3 +592,44 @@ def test_fleet_feature_guard(setup):
                  max_nodes=world.graphs[0].num_nodes,
                  max_cands=world.tables.cand_ids.shape[2],
                  model=nav.model, max_feature_gb=1e-6)
+
+
+def test_fleet_pending_row_save_and_release(setup, tmp_path):
+    """The fused-ingest tick queues observed feature rows host-side until
+    the tick dispatch flushes them.  Two edge contracts around that queue:
+    (1) a row queued but not yet flushed (a tick aborted between ingest and
+    dispatch) must still land in a session's crash-recovery blob, and
+    (2) release() must drop a dead session's queued row so it can never be
+    scattered into a slot later claimed by a fresh session."""
+    import numpy as np
+
+    from vln_magic_tpu.agent.serving import NavFleet, _slot_features_with_pending
+
+    world, cfg, nav, items, server = setup
+    fleet = NavFleet(cfg, nav.params, slots=1,
+                     max_nodes=world.graphs[0].num_nodes,
+                     max_cands=world.tables.cand_ids.shape[2],
+                     model=nav.model)
+    d = cfg.model.image_feat_size
+
+    # (1) queued-but-unflushed row folds into the save blob
+    sess = fleet.join(items[0]["instr_encoding"])
+    marker = np.full((36, d), 7.5, np.float32)
+    sess._put_feature_row(2, marker)          # simulate an aborted tick:
+    assert fleet._pending_rows[sess.slot][0] == 2   # queued, never flushed
+    ft = _slot_features_with_pending(fleet, sess.slot)
+    np.testing.assert_array_equal(ft[0, 2], marker)
+    assert not np.any(np.asarray(fleet._features)[sess.slot, 2])  # bank untouched
+
+    # (2) release drops the queued row; a fresh session in the same slot
+    # must not inherit it
+    fleet.release(sess.slot)
+    assert fleet._pending_rows == {}
+    sess2 = fleet.join(items[1]["instr_encoding"])
+    cur = int(items[1]["path_idx"][0])
+    dec = sess2.step(replay_observation(world, items[1]["scan_idx"], cur,
+                                        float(items[1]["heading"])))
+    # the tick ran with no stale marker queued: the bank row 2 holds either
+    # zeros or this episode's real observation, never the 7.5 marker
+    assert not np.any(np.asarray(fleet._features)[sess2.slot] == 7.5)
+    assert dec is not None
