@@ -175,9 +175,6 @@ class NavServer:
                    cand_mask=jnp.zeros((1, n, c), bool),
                    features=jnp.zeros((1, n, 36, d), jnp.float32)),
             cfg.env, self.model)
-        self._feat_update = jax.jit(
-            lambda feats, v, row: feats.at[0, v].set(row),
-            donate_argnums=(0,))
         self._first_jit = jax.jit(self._first)
         self._next_jit = jax.jit(self._next)
         self._finish_jit = jax.jit(self._finish_traj)
@@ -198,9 +195,12 @@ class NavServer:
                               [Candidate("__warm1", (1.0, 0.0, 0.0), 1.0)]))
         # drive the remaining programs directly (the episode may have ended)
         packed = jnp.asarray(sess._pack_mirrors())
-        _, out = self._next_jit(self.params, packed, sess._features,
-                                sess.state, np.asarray([True]),
-                                np.asarray(1, np.int32), *sess._txt)
+        d = self.cfg.model.image_feat_size
+        _, _, out = self._next_jit(
+            self.params, packed, sess._features,
+            np.asarray(self.n, np.int32), np.zeros((36, d), np.float32),
+            sess.state, np.asarray([True]), np.asarray(1, np.int32),
+            *sess._txt)
         fin = self._finish_jit(packed, sess._features, sess.state)
         jax.block_until_ready((out, fin))
 
@@ -209,7 +209,7 @@ class NavServer:
     # ------------------------------------------------------------------
 
     def _program_specs(self):
-        """ShapeDtypeStruct argument specs for the five device programs —
+        """ShapeDtypeStruct argument specs for the four device programs —
         exactly the shapes every session uses (static by design)."""
         n, c = self.n, self.c
         d = self.cfg.model.image_feat_size
@@ -219,21 +219,23 @@ class NavServer:
         ids, mask = S((1, L), jnp.int32), S((1, L), jnp.bool_)
         packed = S((n * 3 + n * n + 5 * n * c,), jnp.float32)
         features = S((1, n, 36, d), jnp.float32)
+        feat_v = S((), jnp.int32)
+        feat_row = S((36, d), jnp.float32)
         v = S((1,), jnp.int32)
         heading = S((1,), jnp.float32)
         moved = S((1,), jnp.bool_)
         t_step = S((), jnp.int32)
         txt_embeds, txt_kv = jax.eval_shape(self._lang, params, ids, mask)
-        state, _ = jax.eval_shape(self._first, params, packed, features, v,
-                                  heading, txt_embeds, mask, txt_kv)
+        _, state, _ = jax.eval_shape(self._first, params, packed, features,
+                                     feat_v, feat_row, v, heading,
+                                     txt_embeds, mask, txt_kv)
         return {
             "lang": (params, ids, mask),
-            "first": (params, packed, features, v, heading, txt_embeds,
-                      mask, txt_kv),
-            "next": (params, packed, features, state, moved, t_step,
-                     txt_embeds, mask, txt_kv),
+            "first": (params, packed, features, feat_v, feat_row, v,
+                      heading, txt_embeds, mask, txt_kv),
+            "next": (params, packed, features, feat_v, feat_row, state,
+                     moved, t_step, txt_embeds, mask, txt_kv),
             "finish": (packed, features, state),
-            "feat": (features, S((), jnp.int32), S((36, d), jnp.float32)),
         }
 
     def export_bundle(self, path: str, platforms=None,
@@ -259,9 +261,7 @@ class NavServer:
         os.makedirs(path, exist_ok=True)
         specs = self._program_specs()
         programs = {"lang": self._lang_jit, "first": self._first_jit,
-                    "next": self._next_jit, "finish": self._finish_jit,
-                    "feat": jax.jit(lambda feats, v, row:
-                                    feats.at[0, v].set(row))}
+                    "next": self._next_jit, "finish": self._finish_jit}
         for name, fn in programs.items():
             exp = jexp.export(fn, platforms=platforms)(*specs[name])
             with open(os.path.join(path, f"{name}.stablehlo"), "wb") as f:
@@ -276,7 +276,9 @@ class NavServer:
 
         with open(os.path.join(path, "meta.json"), "w") as f:
             _json.dump({
-                "format": "vln_magic_tpu.serving_bundle.v1",
+                # v2: the feature-row scatter rides inside first/next (no
+                # separate "feat" program); v1 bundles are not loadable
+                "format": "vln_magic_tpu.serving_bundle.v2",
                 "config": config_to_dict(self.cfg),
                 "max_nodes": self.n, "max_cands": self.c,
                 # platforms=None pins the StableHLO to THIS process's
@@ -295,7 +297,7 @@ class NavServer:
     @classmethod
     def from_bundle(cls, path: str) -> "NavServer":
         """Build a serving endpoint from an :meth:`export_bundle` directory.
-        The five device programs come from the serialized StableHLO — the
+        The four device programs come from the serialized StableHLO — the
         flax model is never traced (its Python object is still constructed
         so shape metadata and session plumbing work, which is milliseconds).
 
@@ -316,7 +318,16 @@ class NavServer:
         _register_export_pytrees()
         with open(os.path.join(path, "meta.json")) as f:
             meta = _json.load(f)
-        if meta.get("format") != "vln_magic_tpu.serving_bundle.v1":
+        fmt = meta.get("format")
+        if fmt != "vln_magic_tpu.serving_bundle.v2":
+            if isinstance(fmt, str) and \
+                    fmt.startswith("vln_magic_tpu.serving_bundle."):
+                raise ValueError(
+                    f"serving bundle {path} has format {fmt!r} but this "
+                    f"build reads serving_bundle.v2 (the feature-row "
+                    f"scatter moved inside the first/next programs) — "
+                    f"re-export it with export_bundle / "
+                    f"--export_serve_bundle")
             raise ValueError(f"not a serving bundle: {path}")
         # diagnosable environment checks BEFORE touching the StableHLO: a
         # platform/version mismatch otherwise surfaces as an opaque
@@ -360,9 +371,6 @@ class NavServer:
         srv._first_jit = loaded("first")
         srv._next_jit = loaded("next")
         srv._finish_jit = loaded("finish")
-        feat_call = loaded("feat", donate=(0,))
-        srv._feat_update = lambda feats, v, row: feat_call(
-            feats, jnp.asarray(v, jnp.int32), jnp.asarray(row))
         return srv
 
     # ------------------------------------------------------------------
@@ -463,32 +471,38 @@ class NavServer:
         finally:
             r.t = prev
 
-    def _first(self, params, packed, features, v, heading, txt_embeds,
-               txt_masks, txt_kv):
+    def _first(self, params, packed, features, feat_v, feat_row, v, heading,
+               txt_embeds, txt_masks, txt_kv):
         """Episode start + first decision as ONE device program (the batch
-        rollout's init_episodes + step 0).  The gt path is unknown at
-        serving time — goal=start is never read under feedback='argmax'."""
+        rollout's init_episodes + step 0).  The arrival node's 36-view
+        feature row scatters INSIDE the program (``feat_v`` sentinel ``n``
+        drops the update) — the session never pays a separate scatter
+        dispatch per decision.  The gt path is unknown at serving time —
+        goal=start is never read under feedback='argmax'."""
+        features = features.at[0, feat_v].set(feat_row, mode="drop")
         tables = self._unpack_tables(packed, features)
         state = init_episodes(
             tables, jnp.zeros_like(v), v, heading, v[:, None],
             jnp.ones_like(v), self.rollout.model_dims, observed_parity=True)
         state, out = self._decide_core(params, tables, state, txt_embeds,
                                        txt_masks, txt_kv, jnp.int32(0))
-        return state, out[0]
+        return features, state, out[0]
 
-    def _next(self, params, packed, features, state, moved, t_step,
-              txt_embeds, txt_masks, txt_kv):
-        """Arrival registration + decision as ONE device program.  The
+    def _next(self, params, packed, features, feat_v, feat_row, state, moved,
+              t_step, txt_embeds, txt_masks, txt_kv):
+        """Arrival registration + decision as ONE device program (arrival
+        feature row scattered in-program, as in :meth:`_first`).  The
         relax/observe the batch rollout runs at the END of transition runs
         here instead, once the client has reported the arrival node's
         candidates (offline, the tables are complete up front so the order
         is immaterial — nothing reads the registration in between)."""
+        features = features.at[0, feat_v].set(feat_row, mode="drop")
         tables = self._unpack_tables(packed, features)
         state = relax_observed(state, tables, state.cur, moved)
         state = _observe(state, tables)
         state, out = self._decide_core(params, tables, state, txt_embeds,
                                        txt_masks, txt_kv, t_step)
-        return state, out[0]
+        return features, state, out[0]
 
     def _finish_traj(self, packed, features, state):
         tables = self._unpack_tables(packed, features)
@@ -527,6 +541,7 @@ class NavSession:
         self._names: list[str] = []
         d = self.cfg.model.image_feat_size
         self._features = jnp.zeros((1, n, 36, d), jnp.float32)
+        self._pending_row: tuple[int, np.ndarray] | None = None
 
         L = self.cfg.env.max_instr_len
         ids = np.full((1, L), 1, np.int32)
@@ -611,8 +626,10 @@ class NavSession:
         return v
 
     def _put_feature_row(self, v: int, row: np.ndarray):
-        self._features = self.server._feat_update(self._features, v,
-                                                  jnp.asarray(row))
+        # queue for the step program (the scatter rides inside first/next —
+        # no separate per-decision dispatch); each step ingests exactly one
+        # observation, so single-slot overwrite is exact
+        self._pending_row = (v, row)
 
     def _reverse_fill(self, frm: int, to: int, dist: float):
         """Record the reverse edge ``frm -> to`` so the observed-graph walk
@@ -645,22 +662,31 @@ class NavSession:
         if self._ended:
             raise RuntimeError("episode already ended; call finish()")
         v = self._ingest(obs)
+        if self.state is not None and v != self._cur:
+            raise ValueError(
+                f"observation at '{obs.node}' but the session's current "
+                f"node is '{self._names[self._cur]}'")
         server = self.server
         packed = jnp.asarray(self._pack_mirrors())
         pre_len = max(len(self._traj), 1)
+        # this decision's observed feature row rides inside the step
+        # program (sentinel n = nothing queued, dropped by the scatter)
+        if self._pending_row is not None:
+            fv, frow = self._pending_row
+            self._pending_row = None
+        else:
+            fv, frow = self.n, np.zeros(
+                (36, self.cfg.model.image_feat_size), np.float32)
+        fv = np.asarray(fv, np.int32)
         if self.state is None:
-            self.state, out_vec = server._first_jit(
-                server.params, packed, self._features,
+            self._features, self.state, out_vec = server._first_jit(
+                server.params, packed, self._features, fv, frow,
                 np.asarray([v], np.int32),
                 np.asarray([obs.heading], np.float32), *self._txt)
             self._traj = [obs.node]
         else:
-            if v != self._cur:
-                raise ValueError(
-                    f"observation at '{obs.node}' but the session's current "
-                    f"node is '{self._names[self._cur]}'")
-            self.state, out_vec = server._next_jit(
-                server.params, packed, self._features, self.state,
+            self._features, self.state, out_vec = server._next_jit(
+                server.params, packed, self._features, fv, frow, self.state,
                 np.asarray([self._last_moved]),
                 np.asarray(self.t_step, np.int32), *self._txt)
         self.t_step += 1
@@ -694,13 +720,18 @@ class NavSession:
         import jax.tree_util as jtu
         from flax import serialization
 
+        ft = np.asarray(self._features)
+        if self._pending_row is not None:   # queued but not yet stepped
+            ft = ft.copy()
+            pv, prow = self._pending_row
+            ft[0, pv] = prow
         blob = {
             "instr": self._instr,
             "state": (None if self.state is None
                       else jtu.tree_map(np.asarray,
                                         serialization.to_state_dict(
                                             self.state))),
-            "features": np.asarray(self._features),
+            "features": ft,
             "mirrors": {
                 "pos": self.h_pos, "dist": self.h_dist,
                 "cand_ids": self.h_cand_ids, "cand_dist": self.h_cand_dist,
@@ -774,7 +805,7 @@ class NavSession:
 # A robot host should not pay model tracing + XLA compile at process start
 # (20-40 s/program on a fresh process, CLAUDE.md platform notes; the
 # reference has no serving path at all, let alone a deployable artifact).
-# ``NavServer.export_bundle`` ahead-of-time lowers the five per-step device
+# ``NavServer.export_bundle`` ahead-of-time lowers the four per-step device
 # programs to serialized StableHLO plus the params and config — ONE
 # directory that a serving process loads with ``NavServer.from_bundle``
 # without ever tracing the flax model.  The StableHLO still JIT-compiles
