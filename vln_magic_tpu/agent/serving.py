@@ -37,12 +37,13 @@ Design notes (TPU-first):
   closure constants.
 - A decision is FOUR host<->device crossings, total ~140 KB: the packed
   host-mirrored topological tables (~30 KB, ONE buffer), the arrival node's
-  36-view feature row (~110 KB at CLIP-768, scattered into a donated device
-  table), the single fused jit dispatch (arrival registration + model step +
-  transition), and ONE packed i32 result vector back.  Chatty per-field
-  transfers and per-step eager dispatches were measured at 450 ms/decision
-  through the axon tunnel; the packed protocol exists because round trips,
-  not bytes, dominate a remote-attached TPU.
+  36-view feature row (~110 KB at CLIP-768 — scattered INSIDE the step
+  program, not by a separate dispatch), the single fused jit dispatch
+  (row scatter + arrival registration + model step + transition), and ONE
+  packed i32 result vector back.  Chatty per-field transfers and per-step
+  eager dispatches were measured at 450 ms/decision through the axon
+  tunnel; the packed protocol exists because round trips, not bytes,
+  dominate a remote-attached TPU.
 """
 
 from __future__ import annotations
